@@ -1,0 +1,379 @@
+"""ContractEngine: the library entry point.
+
+Replaces the reference's HTTP + per-record interpreter lifecycle
+(`app/core/validation_engine.py:23-161`, SURVEY.md §3) with:
+
+    contract YAML → dataclass IR → compile to Column expressions →
+    one fused select (schema rules) →
+    one global agg (freshness/completeness/statistics) +
+    salted uniqueness agg + broadcast referential anti-join + drift →
+    verdict/violation/report artifacts.
+
+Everything distributed stays a DataFrame (violations, per-record results,
+per-partition verdicts); only the tiny report row is collected.
+
+Verdict semantics (parity):
+  * record PASS iff no schema errors (`validation_engine.py:37`);
+  * batch: total / passed / failed / pass_rate = passed/total*100, 0 for
+    empty input (`validation_engine.py:91-122`);
+  * quality stage runs only if at least one record passed schema
+    (`validation_engine.py:105`), receives the full batch, and fails on
+    any ERROR-severity rule; STATISTICS are WARNING-only;
+  * quality_score = 100 − 10·ERRORs − 3·WARNINGs, floor 0;
+  * error summary = counts by error_type (`validation_engine.py:124-126`);
+  * per-failed-record sample keeps 5 errors, report keeps 50
+    (`validation_engine.py:103,137`).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .compiler.expressions import CompileOptions, CompiledContract, compile_contract
+from .contracts.model import Contract, SEVERITY_ERROR
+from .contracts.parser import parse_contract_yaml
+from .operators import referential as ref_op
+from .operators import uniqueness as uniq_op
+from .operators.drift import psi_kl
+from .quality.aggregates import (
+    QualityError,
+    QualityResult,
+    build_quality_agg_exprs,
+    decode_quality_row,
+    quality_score,
+)
+
+
+@dataclass
+class BatchReport:
+    """Mirror of the reference BatchValidationResult
+    (`app/models/schemas.py:310-324`)."""
+
+    batch_id: str
+    total_records: int
+    passed: int
+    failed: int
+    pass_rate: float
+    errors_summary: Dict[str, int]
+    sample_errors: List[Dict[str, Any]]
+    quality: Optional[QualityResult]
+    execution_time_ms: float
+
+
+@dataclass
+class ValidationRun:
+    """Lazy handle over one validation: distributed artifacts stay
+    DataFrames; `report()` collects only aggregates."""
+
+    engine: "ContractEngine"
+    contract: Contract
+    df: DataFrame
+    compiled: CompiledContract
+    key_columns: List[str]
+    validated: DataFrame            # keys + errors + passed
+    _report: Optional[BatchReport] = None
+
+    def violations(self) -> DataFrame:
+        """Exploded violation rows:
+        (contract_id, key columns..., field, error_type, message, value,
+        expected) — the distributed sink artifact."""
+        v = self.validated.filter(~F.col("passed")).select(
+            F.lit(self.contract.name).alias("contract_id"),
+            *[F.col(k) for k in self.key_columns],
+            F.explode("errors").alias("e"),
+        )
+        return v.select(
+            "contract_id",
+            *self.key_columns,
+            F.col("e.field").alias("field"),
+            F.col("e.error_type").alias("error_type"),
+            F.col("e.message").alias("message"),
+            F.col("e.value").alias("value"),
+            F.col("e.expected").alias("expected"),
+        )
+
+    def partition_verdicts(self, partition_cols: Sequence[str]) -> DataFrame:
+        """Per-partition PASS/FAIL + counts — the north rule's verdict
+        artifact. One groupBy over the already-validated frame."""
+        return (
+            self.validated.groupBy(*partition_cols)
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.sum(F.col("passed").cast("long")).alias("passed_count"),
+            )
+            .select(
+                *partition_cols,
+                "total",
+                "passed_count",
+                (F.col("total") - F.col("passed_count")).alias("failed_count"),
+                F.when(F.col("total") == F.col("passed_count"), F.lit("PASS"))
+                .otherwise(F.lit("FAIL"))
+                .alias("verdict"),
+            )
+        )
+
+    def report(self, sample_errors: int = 50) -> BatchReport:
+        if self._report is not None:
+            return self._report
+        t0 = time.time()
+        rules = self.contract.quality
+
+        # ---- pass 1: schema verdict counters + fused quality aggregates
+        agg_exprs = [
+            F.count(F.lit(1)).alias("__total"),
+            F.sum(F.col("passed").cast("long")).alias("__passed"),
+        ]
+        with_cols = self.df
+        quality_exprs = build_quality_agg_exprs(self.df, rules)
+        # run both over the validated frame (it carries the source columns)
+        joined = self.validated
+        agg_row = joined.agg(
+            *agg_exprs,
+            *[e for e in quality_exprs],
+        ).collect()[0].asDict()
+
+        total = agg_row["__total"]
+        passed = agg_row["__passed"] or 0
+        failed = total - passed
+        pass_rate = (passed / total * 100.0) if total else 0.0
+
+        # ---- error summary + samples (distributed, then tiny collects)
+        errors_summary: Dict[str, int] = {}
+        samples: List[Dict[str, Any]] = []
+        if failed:
+            summary_rows = (
+                self.validated.filter(~F.col("passed"))
+                .select(F.explode("errors").alias("e"))
+                .groupBy(F.col("e.error_type").alias("error_type"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+            errors_summary = {r["error_type"]: r["cnt"] for r in summary_rows}
+            sample_rows = (
+                self.validated.filter(~F.col("passed"))
+                .orderBy(*self.key_columns)
+                .select(F.explode(F.slice("errors", 1, 5)).alias("e"))
+                .limit(sample_errors)
+                .collect()
+            )
+            samples = [r["e"].asDict() for r in sample_rows]
+
+        # ---- pass 2: quality stage (gated on any schema pass, parity)
+        quality: Optional[QualityResult] = None
+        if rules.any() and passed > 0:
+            qerrors = decode_quality_row(agg_row, rules, now_epoch=self._now())
+            qerrors += self._uniqueness_errors()
+            qerrors += self._referential_errors()
+            qerrors += self._drift_errors()
+            score = quality_score(qerrors)
+            qpassed = not any(e.severity == SEVERITY_ERROR for e in qerrors)
+            quality = QualityResult(
+                passed=qpassed, errors=qerrors, quality_score=score
+            )
+
+        self._report = BatchReport(
+            batch_id=str(uuid.uuid4()),
+            total_records=total,
+            passed=passed,
+            failed=failed,
+            pass_rate=pass_rate,
+            errors_summary=errors_summary,
+            sample_errors=samples,
+            quality=quality,
+            execution_time_ms=(time.time() - t0) * 1000.0,
+        )
+        return self._report
+
+    # -- quality sub-operators -------------------------------------------
+
+    def _now(self) -> float:
+        return self.engine.now_epoch if self.engine.now_epoch else time.time()
+
+    def _uniqueness_errors(self) -> List[QualityError]:
+        rules = self.contract.quality
+        if not rules.uniqueness:
+            return []
+        out: List[QualityError] = []
+        for key in rules.uniqueness.get("fields", []):
+            label = key if isinstance(key, str) else ",".join(key)
+            n_dups, top = uniq_op.duplicate_report(
+                self.df, key, salted=self.engine.salted_aggregates
+            )
+            if n_dups:
+                out.append(
+                    QualityError(
+                        rule_type="UNIQUENESS",
+                        message=(
+                            f"Duplicate values in '{label}': {', '.join(top)}"
+                        ),
+                        severity=SEVERITY_ERROR,
+                        details={"field": label, "duplicate_count": n_dups},
+                    )
+                )
+        return out
+
+    def uniqueness_violations(self) -> Optional[DataFrame]:
+        rules = self.contract.quality
+        if not rules.uniqueness:
+            return None
+        frames = [
+            uniq_op.duplicate_violations(
+                self.df, key, self.contract.name,
+                salted=self.engine.salted_aggregates,
+            ).select(
+                "contract_id", "rule", "field",
+                F.concat_ws(
+                    "|",
+                    *[F.col(c).cast("string")
+                      for c in uniq_op._key_cols(key)],
+                ).alias("key"),
+                "dup_count",
+            )
+            for key in rules.uniqueness.get("fields", [])
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _referential_errors(self) -> List[QualityError]:
+        rules = self.contract.quality
+        if not rules.referential:
+            return []
+        out: List[QualityError] = []
+        for column, spec in rules.referential.items():
+            vocab = self._resolve_vocab(column, spec)
+            if vocab is None:
+                continue
+            bad = ref_op.invalid_references(self.df, column, vocab,
+                                            spec.get("column"))
+            stats = bad.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(column).cast("string"))),
+                    1, 5,
+                ).alias("examples"),
+            ).collect()[0]
+            if stats["n"]:
+                out.append(
+                    QualityError(
+                        rule_type="REFERENTIAL",
+                        message=(
+                            f"Field '{column}' has {stats['n']} values outside "
+                            f"the reference vocabulary: "
+                            f"{', '.join(stats['examples'] or [])}"
+                        ),
+                        severity=SEVERITY_ERROR,
+                        details={"field": column, "invalid_count": stats["n"]},
+                    )
+                )
+        return out
+
+    def _resolve_vocab(self, column: str, spec: Dict[str, Any]):
+        if "values" in spec:
+            return ref_op.vocab_df(
+                self.engine.spark, spec["values"], spec.get("column") or column
+            )
+        table = self.engine.vocab_tables.get(spec.get("table", ""))
+        if table is not None:
+            return table
+        try:
+            return self.engine.spark.table(spec["table"])
+        except Exception:
+            return None
+
+    def _drift_errors(self) -> List[QualityError]:
+        rules = self.contract.quality
+        if not rules.drift:
+            return []
+        baseline = self.engine.drift_baseline
+        if baseline is None:
+            return []
+        out: List[QualityError] = []
+        for column, spec in rules.drift.items():
+            metric = spec.get("metric", "psi")
+            threshold = spec.get("threshold", 0.2)
+            bins = spec.get("bins", 10)
+            expr = spec.get("expr")  # e.g. "length(text)"
+            cur = self.df.selectExpr(f"{expr} as {column}") if expr \
+                else self.df.select(column)
+            base = baseline.selectExpr(f"{expr} as {column}") if expr \
+                else baseline.select(column)
+            score = psi_kl(cur, base, column, bins=bins)
+            value = score.psi if metric == "psi" else score.kl
+            if value > threshold:
+                out.append(
+                    QualityError(
+                        rule_type="DRIFT",
+                        message=(
+                            f"Field '{column}' {metric.upper()} {value:.4f} "
+                            f"exceeds threshold {threshold}"
+                        ),
+                        severity=spec.get("severity", "WARNING"),
+                        details={
+                            "field": column,
+                            "psi": score.psi,
+                            "kl": score.kl,
+                        },
+                    )
+                )
+        return out
+
+
+class ContractEngine:
+    """Facade: ``ContractEngine(spark).validate(df, contract_yaml)``.
+
+    Options:
+      * ``salted_aggregates``: run uniqueness as the two-stage salted agg;
+      * ``vocab_tables``: name → DataFrame registry for referential rules;
+      * ``drift_baseline``: baseline DataFrame for drift rules;
+      * ``now_epoch``: freeze "now" for deterministic freshness tests;
+      * ``compile_options``: error cap / null policy.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        salted_aggregates: bool = True,
+        vocab_tables: Optional[Dict[str, DataFrame]] = None,
+        drift_baseline: Optional[DataFrame] = None,
+        now_epoch: Optional[float] = None,
+        compile_options: Optional[CompileOptions] = None,
+    ):
+        self.spark = spark
+        self.salted_aggregates = salted_aggregates
+        self.vocab_tables = vocab_tables or {}
+        self.drift_baseline = drift_baseline
+        self.now_epoch = now_epoch
+        self.compile_options = compile_options or CompileOptions()
+
+    def validate(
+        self,
+        df: DataFrame,
+        contract: Union[Contract, str],
+        key_columns: Optional[Sequence[str]] = None,
+    ) -> ValidationRun:
+        if isinstance(contract, str):
+            contract = parse_contract_yaml(contract)
+        compiled = compile_contract(contract, df.schema, self.compile_options)
+        keys = list(key_columns) if key_columns else [
+            c for c in df.columns[:2]
+        ]
+        validated = df.select(
+            "*",
+            compiled.errors_col.alias(self.compile_options.errors_column),
+            compiled.passed_col.alias(self.compile_options.passed_column),
+        )
+        return ValidationRun(
+            engine=self,
+            contract=contract,
+            df=df,
+            compiled=compiled,
+            key_columns=keys,
+            validated=validated,
+        )

@@ -1,0 +1,151 @@
+"""Distribution-drift checks: PSI / KL divergence vs a baseline snapshot.
+
+Upgrade path of the reference's `statistics` rules (SURVEY.md §2.3 A16,
+`app/core/quality_validator.py:184-235`): instead of mean/std bounds, bin
+the column into a histogram and compare against a persisted baseline
+histogram.
+
+Scale design:
+  * bin edges come from ``approx_percentile`` over the baseline — one
+    aggregate pass, sketch-based (no sort, no collect of data);
+  * binning the 10^12-row current table is a ``width_bucket`` projection +
+    one groupBy(bin).count() — partial aggregation makes the shuffle tiny
+    (≤ bins rows per partition);
+  * the two histograms are bins-sized (tiny); they join on bin id and the
+    KL/PSI arithmetic runs in a vectorized pandas (Arrow) UDF — the only
+    Python in the pipeline, over ~10s of rows.
+
+PSI = Σ (p_i − q_i) · ln(p_i / q_i);  KL(p‖q) = Σ p_i · ln(p_i / q_i),
+with epsilon-smoothed proportions so empty bins stay finite.
+Conventional PSI reading: <0.1 stable, 0.1–0.2 moderate, >0.2 major shift.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+EPS = 1e-6
+
+
+@dataclass
+class DriftScore:
+    column: str
+    psi: float
+    kl: float
+    bins: int
+
+
+def quantile_edges(
+    df: DataFrame, column: str, bins: int = 10, accuracy: int = 10000
+) -> List[float]:
+    """Bin edges from approx_percentile over the baseline distribution."""
+    probs = [i / bins for i in range(1, bins)]
+    row = df.agg(
+        F.percentile_approx(F.col(column).cast("double"), probs, accuracy).alias("q")
+    ).collect()[0]
+    edges = sorted(set(row["q"] or []))
+    return [e for e in edges if e is not None]
+
+
+def histogram(df: DataFrame, column: str, edges: Sequence[float]) -> DataFrame:
+    """(bin, count) with bin ∈ [0, len(edges)]; nulls are dropped.
+
+    ``width_bucket(v, lo, hi, n)`` needs equi-width bins, so we bin against
+    the explicit quantile edge list with a fused CASE chain — still one
+    codegen'd projection.
+    """
+    v = F.col(column).cast("double")
+    # build CASE v <= e0 -> 0, v <= e1 -> 1, ..., else len(edges)
+    expr = None
+    for i, e in enumerate(edges):
+        cond = v <= F.lit(float(e))
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = F.lit(0) if expr is None else expr.otherwise(F.lit(len(edges)))
+    return (
+        df.filter(v.isNotNull())
+        .select(expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def psi_kl_from_histograms(
+    current: DataFrame, baseline: DataFrame, column: str = "value"
+) -> DriftScore:
+    """Join the two tiny histograms and score drift in one pandas UDF."""
+    cur = current.select(F.col("bin"), F.col("cnt").alias("cur_cnt"))
+    base = baseline.select(F.col("bin"), F.col("cnt").alias("base_cnt"))
+    joined = cur.join(base, "bin", "full_outer").fillna(
+        {"cur_cnt": 0, "base_cnt": 0}
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one Arrow batch over the bins-sized frame; vectorized numpy math
+        import numpy as np
+
+        c = pdf["cur_cnt"].to_numpy(dtype="float64")
+        b = pdf["base_cnt"].to_numpy(dtype="float64")
+        p = (c + EPS) / (c.sum() + EPS * len(c))
+        q = (b + EPS) / (b.sum() + EPS * len(b))
+        lr = np.log(p / q)
+        return pd.DataFrame(
+            {
+                "psi": [float(((p - q) * lr).sum())],
+                "kl": [float((p * lr).sum())],
+                "bins": [len(c)],
+            }
+        )
+
+    rows = (
+        joined.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(lambda _, pdf: score(pdf), "psi double, kl double, bins long")
+        .collect()
+    )
+    if not rows:
+        return DriftScore(column=column, psi=0.0, kl=0.0, bins=0)
+    r = rows[0]
+    return DriftScore(column=column, psi=r["psi"], kl=r["kl"], bins=r["bins"])
+
+
+def psi_kl(
+    current_df: DataFrame,
+    baseline_df: DataFrame,
+    column: str,
+    bins: int = 10,
+    edges: Optional[Sequence[float]] = None,
+) -> DriftScore:
+    """End-to-end drift score for one column: edges from the baseline,
+    both sides binned, PSI+KL from the joined histograms."""
+    edges = list(edges) if edges is not None else quantile_edges(
+        baseline_df, column, bins
+    )
+    if not edges:
+        return DriftScore(column=column, psi=0.0, kl=0.0, bins=0)
+    cur_h = histogram(current_df, column, edges)
+    base_h = histogram(baseline_df, column, edges)
+    out = psi_kl_from_histograms(cur_h, base_h, column)
+    return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
+
+
+def psi_kl_exact(
+    cur_counts: Sequence[float], base_counts: Sequence[float]
+) -> tuple:
+    """Driver-side reference arithmetic (used by tests as the oracle)."""
+    c = [float(x) for x in cur_counts]
+    b = [float(x) for x in base_counts]
+    sp = sum(c) + EPS * len(c)
+    sq = sum(b) + EPS * len(b)
+    psi = kl = 0.0
+    for ci, bi in zip(c, b):
+        p = (ci + EPS) / sp
+        q = (bi + EPS) / sq
+        lr = math.log(p / q)
+        psi += (p - q) * lr
+        kl += p * lr
+    return psi, kl

@@ -1,0 +1,104 @@
+"""Uniqueness checking as a salted two-stage hash-aggregate.
+
+Reference semantics (`app/core/quality_validator.py:157-182`): for each
+configured field, count value occurrences; any value occurring more than
+once is a violation, reported as ONE QualityError per field listing up to
+five duplicate values as ``'<val>' (<n>x)``. Nulls participate as values.
+
+Scale design (north rule: uniqueness over (conv_id, turn_idx) at 10^12
+rows with hot conversations):
+  * stage 1 groups by ``(key, salt)`` where the salt is the Spark input
+    partition id — a skewed key's rows partial-aggregate in parallel across
+    all its input partitions instead of converging on one reducer;
+  * stage 2 sums the partial counts per key — by then each hot key carries
+    at most #input-partitions rows, so the final shuffle is tiny;
+  * AQE skew-join/coalescing stays enabled on top.
+
+Spark's hash aggregate already performs map-side partial aggregation for
+``count``, but the explicit salt stage also protects aggregates that buffer
+per-group state and gives the optimizer a smaller final shuffle; both
+plans are available (``salted=`` flag).
+
+The per-field duplicate report is deterministic: duplicates are ranked by
+count DESC then key ASC (the reference reports first-seen order, which is
+undefined under parallelism — SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+from pyspark.sql import DataFrame, functions as F
+
+KeySpec = Union[str, Sequence[str]]
+
+
+def _key_cols(key: KeySpec) -> List[str]:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def duplicate_counts(
+    df: DataFrame, key: KeySpec, salted: bool = True
+) -> DataFrame:
+    """DataFrame of (key columns..., dup_count) for keys with count > 1.
+
+    ``salted=True`` runs the two-stage salted aggregate described above.
+    """
+    cols = _key_cols(key)
+    if salted:
+        partial = (
+            df.groupBy(*cols, F.spark_partition_id().alias("__salt"))
+            .agg(F.count(F.lit(1)).alias("__partial"))
+        )
+        counts = partial.groupBy(*cols).agg(
+            F.sum("__partial").alias("dup_count")
+        )
+    else:
+        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("dup_count"))
+    return counts.filter(F.col("dup_count") > 1)
+
+
+def duplicate_report(
+    df: DataFrame, key: KeySpec, top_n: int = 5, salted: bool = True
+):
+    """(n_duplicate_keys, [formatted top-N strings]) for the QualityError
+    message — parity with `quality_validator.py:169-172`."""
+    cols = _key_cols(key)
+    dups = duplicate_counts(df, key, salted=salted)
+    agg = dups.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("dup_count")).alias("neg"),
+                        F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).alias("k"),
+                        F.col("dup_count").alias("c"),
+                    )
+                )
+            ),
+            1,
+            top_n,
+        ).alias("top"),
+    ).collect()[0]
+    n_dups = agg["n"]
+    top = [f"'{t['k']}' ({t['c']}x)" for t in (agg["top"] or [])]
+    return n_dups, top
+
+
+def duplicate_violations(
+    df: DataFrame,
+    key: KeySpec,
+    contract_id: str = "contract",
+    salted: bool = True,
+) -> DataFrame:
+    """Violation rows (contract_id, rule, field, key columns..., dup_count)
+    — the distributed artifact persisted to the violations sink."""
+    cols = _key_cols(key)
+    return duplicate_counts(df, key, salted=salted).select(
+        F.lit(contract_id).alias("contract_id"),
+        F.lit("UNIQUENESS").alias("rule"),
+        F.lit(",".join(cols)).alias("field"),
+        *[F.col(c) for c in cols],
+        F.col("dup_count"),
+    )

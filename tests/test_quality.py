@@ -1,0 +1,163 @@
+"""Quality-rule tests — parity with reference tests/test_quality_validator.py."""
+
+import datetime as dt
+
+import pytest
+
+from data_contract_engine_spark import ContractEngine, contract_from_dict
+
+NOW = dt.datetime(2025, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc).timestamp()
+
+
+def _contract(quality):
+    return contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {"id": {"type": "string"},
+                       "value": {"type": "float", "required": False}},
+            "quality_rules": quality,
+        }
+    )
+
+
+def _run(spark, rows, quality, ddl="id string, value double, timestamp timestamp"):
+    df = spark.createDataFrame(rows, ddl)
+    eng = ContractEngine(spark, now_epoch=NOW)
+    run = eng.validate(df, _contract(quality), key_columns=["id"])
+    return run.report()
+
+
+def _ts(hours_ago: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(NOW - hours_ago * 3600, dt.timezone.utc) \
+        .replace(tzinfo=None)
+
+
+def test_freshness_pass_and_fail(spark):
+    # 3h-old data vs 1h limit fails; vs 24h limit passes
+    rows = [("a", 1.0, _ts(3.0))]
+    rep = _run(spark, rows, {"freshness": {"max_latency_hours": 1}})
+    q = rep.quality
+    assert not q.passed
+    assert q.errors[0].rule_type == "FRESHNESS"
+    assert "3.0 hours old, exceeds limit of 1 hours" in q.errors[0].message
+    rep = _run(spark, rows, {"freshness": {"max_latency_hours": 24}})
+    assert rep.quality.passed
+
+
+def test_freshness_reports_oldest(spark):
+    rows = [("a", 1.0, _ts(2.0)), ("b", 1.0, _ts(50.0))]
+    rep = _run(spark, rows, {"freshness": {"max_latency_hours": 24}})
+    assert "50.0 hours old" in rep.quality.errors[0].message
+
+
+def test_min_row_count(spark):
+    rows = [("a", 1.0, _ts(0))] * 50
+    rep = _run(spark, rows, {"completeness": {"min_row_count": 100}})
+    q = rep.quality
+    assert not q.passed
+    assert q.errors[0].message == "Insufficient records: got 50, expected 100"
+
+
+def test_max_null_percentage(spark):
+    # 2 of 3 null (66.7%) > 5% limit
+    rows = [("a", None, _ts(0)), ("b", None, _ts(0)), ("c", 1.0, _ts(0))]
+    rep = _run(spark, rows, {"completeness": {"max_null_percentage": 5}})
+    q = rep.quality
+    assert not q.passed
+    msgs = [e.message for e in q.errors]
+    assert any("'value' has 66.7% nulls, exceeds 5% limit" in m for m in msgs)
+
+
+def test_uniqueness_pass_and_fail(spark):
+    ok = [("a", 1.0, _ts(0)), ("b", 1.0, _ts(0))]
+    rep = _run(spark, ok, {"uniqueness": {"fields": ["id"]}})
+    assert rep.quality.passed
+    dup = [("a", 1.0, _ts(0)), ("a", 2.0, _ts(0)), ("a", 3.0, _ts(0)),
+           ("b", 1.0, _ts(0))]
+    rep = _run(spark, dup, {"uniqueness": {"fields": ["id"]}})
+    q = rep.quality
+    assert not q.passed
+    assert q.errors[0].rule_type == "UNIQUENESS"
+    assert q.errors[0].message == "Duplicate values in 'id': 'a' (3x)"
+    assert q.errors[0].details["duplicate_count"] == 1
+
+
+def test_uniqueness_composite_key(spark):
+    rows = [("a", 1.0, _ts(0)), ("a", 1.0, _ts(0)), ("a", 2.0, _ts(0))]
+    rep = _run(spark, rows, {"uniqueness": {"fields": [["id", "value"]]}})
+    q = rep.quality
+    assert not q.passed
+    assert "id,value" in q.errors[0].message
+
+
+def test_statistics_warning_does_not_fail(spark):
+    rows = [("a", 10.0, _ts(0)), ("b", 20.0, _ts(0))]  # mean 15
+    rep = _run(
+        spark, rows,
+        {"statistics": {"value": {"mean": {"min": 0, "max": 5}}}},
+    )
+    q = rep.quality
+    assert q.passed  # WARNING severity doesn't flip the verdict
+    assert q.errors[0].severity == "WARNING"
+    assert q.errors[0].message == "Field 'value' mean 15.00 exceeds maximum 5"
+    assert q.quality_score == 97.0  # 100 - 3
+
+
+def test_statistics_population_stddev(spark):
+    # population std of [2, 4] is 1.0 (sample std would be ~1.414)
+    rows = [("a", 2.0, _ts(0)), ("b", 4.0, _ts(0))]
+    rep = _run(
+        spark, rows, {"statistics": {"value": {"std_dev": {"max": 1.2}}}}
+    )
+    assert rep.quality.passed  # 1.0 <= 1.2 — sample std would have failed
+    rep = _run(
+        spark, rows, {"statistics": {"value": {"std_dev": {"max": 0.5}}}}
+    )
+    assert rep.quality.errors[0].message == \
+        "Field 'value' std dev 1.00 exceeds maximum 0.5"
+
+
+def test_quality_score_arithmetic(spark):
+    # 1 ERROR (uniqueness) + 1 WARNING (stats) → 100 - 10 - 3 = 87
+    rows = [("a", 50.0, _ts(0)), ("a", 60.0, _ts(0))]
+    rep = _run(
+        spark, rows,
+        {
+            "uniqueness": {"fields": ["id"]},
+            "statistics": {"value": {"mean": {"max": 5}}},
+        },
+    )
+    q = rep.quality
+    assert q.quality_score == 87.0
+    assert not q.passed
+
+
+def test_quality_gated_on_schema_pass(spark):
+    # all records fail schema → quality stage must not run (parity:
+    # validation_engine.py:105)
+    c = contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {"id": {"type": "string", "pattern": "^ok$"}},
+            "quality_rules": {"completeness": {"min_row_count": 100}},
+        }
+    )
+    df = spark.createDataFrame([("bad1",), ("bad2",)], "id string")
+    rep = ContractEngine(spark, now_epoch=NOW).validate(df, c).report()
+    assert rep.failed == 2
+    assert rep.quality is None
+
+
+def test_batch_counters_and_pass_rate(spark):
+    rows = [("a", 1.0, _ts(0)), ("b", 1.0, _ts(0)), (None, 1.0, _ts(0)),
+            ("d", 1.0, _ts(0))]
+    rep = _run(spark, rows, {})
+    assert (rep.total_records, rep.passed, rep.failed) == (4, 3, 1)
+    assert rep.pass_rate == 75.0
+    assert rep.errors_summary == {"REQUIRED_FIELD_MISSING": 1}
+
+
+def test_empty_input_pass_rate_zero(spark):
+    rep = _run(spark, [], {})
+    assert rep.total_records == 0
+    assert rep.pass_rate == 0.0
