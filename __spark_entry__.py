@@ -1,38 +1,687 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a training-data pipeline operator) through the library in
+``data_contract_engine_spark``; ``oracle_sql()`` carries the DuckDB-
+runnable ANSI equivalent. The flagship transcripts table is derived from
+the driver-provided ``events`` parquet with ONE portable SQL text
+(`fixtures/transcripts_sql.py`) so Spark and DuckDB see byte-identical
+input.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from data_contract_engine_spark.engine import ContractEngine
+from data_contract_engine_spark.fixtures.transcripts import FLAGSHIP_CONTRACT_YAML
+from data_contract_engine_spark.fixtures.transcripts_sql import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    spark_transcripts_from_events,
+)
+from data_contract_engine_spark.operators import (
+    dedup,
+    drift,
+    multimodal,
+    referential as ref_op,
+    similarity,
+    textstats,
+    uniqueness as uniq_op,
+)
+
+# ---------------------------------------------------------------------------
+# shared bits
+# ---------------------------------------------------------------------------
+
+ROLE_VOCAB = ("system", "user", "assistant", "tool")
+TOOL_VOCAB = ("search", "browser", "python", "sql")
+
+# Oracle-side CTE prefix deriving `transcripts` from the registered
+# `events` view — the exact SQL Spark runs.
+_T = f"WITH transcripts AS (\n{TRANSCRIPTS_FROM_EVENTS_SQL}\n)\n"
+
+# Flagship schema-stage failure predicate (must mirror the compiled
+# contract in fixtures/transcripts.py exactly).
+_FAIL = (
+    "(role NOT IN ('system','user','assistant','tool') "
+    "OR length(text) < 1 OR turn_idx < 0 "
+    "OR ts < TIMESTAMP '2020-01-01 00:00:00')"
+)
+
+TEXTLEN_EDGES = [20.0, 30.0, 40.0, 50.0]
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark_transcripts_from_events(spark, _read(spark, sf_dir, "events"))
+
+
+def _flagship_run(spark: SparkSession, sf_dir: str):
+    tr = _transcripts(spark, sf_dir)
+    eng = ContractEngine(spark)
+    return eng.validate(tr, FLAGSHIP_CONTRACT_YAML, key_columns=["conv_id", "turn_idx"])
+
+
+# ---------------------------------------------------------------------------
+# entry — smoke check at sf0.001
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full contract validation over transcripts derived from
+    sf0.001 events; returns the violation rows."""
+    run = _flagship_run(spark, "/root/testdata/sf0.001")
+    return run.violations()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_violation_counts(spark, sf_dir):
+    run = _flagship_run(spark, sf_dir)
+    return (
+        run.violations()
+        .groupBy("error_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_violation_rows(spark, sf_dir):
+    run = _flagship_run(spark, sf_dir)
+    return run.violations().select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"),
+        "field", "error_type", "value",
+    )
+
+
+def q_partition_verdicts(spark, sf_dir):
+    run = _flagship_run(spark, sf_dir)
+    return run.partition_verdicts(["conv_id"])
+
+
+def q_uniqueness(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    return uniq_op.duplicate_counts(tr, ["conv_id", "turn_idx"], salted=True).select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "dup_count"
+    )
+
+
+def q_referential_tool(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    vocab = ref_op.vocab_df(spark, TOOL_VOCAB, "tool")
+    return (
+        ref_op.invalid_references(tr, "tool", vocab)
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_referential_role(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    vocab = ref_op.vocab_df(spark, ROLE_VOCAB, "role")
+    return (
+        ref_op.invalid_references(tr, "role", vocab)
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_completeness(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    return tr.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.round(F.avg(F.col("tool").isNull().cast("double")) * 100.0, 4).alias(
+            "tool_null_pct"
+        ),
+    )
+
+
+def q_stats(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    return tr.agg(
+        F.round(F.avg("turn_idx"), 4).alias("mean_turn_idx"),
+        F.round(F.stddev_pop("turn_idx"), 4).alias("std_turn_idx"),
+    )
+
+
+def q_freshness(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    return tr.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+
+
+def q_drift_histogram(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir).selectExpr("length(text) as v")
+    h = drift.histogram(tr, "v", TEXTLEN_EDGES)
+    return h.select(F.col("bin").cast("long").alias("bin"), F.col("cnt"))
+
+
+def q_drift_psi(spark, sf_dir):
+    """PSI/KL of text-length: first half of conversations vs second half —
+    pandas-UDF scored; non-SQL (rows-only check)."""
+    tr = _transcripts(spark, sf_dir)
+    cur = tr.filter("substring(conv_id, 6) >= '000075'").selectExpr(
+        "length(text) as v"
+    )
+    base = tr.filter("substring(conv_id, 6) < '000075'").selectExpr(
+        "length(text) as v"
+    )
+    s = drift.psi_kl(cur, base, "v", bins=10)
+    return spark.createDataFrame(
+        [(s.column, float(s.psi), float(s.kl), int(s.bins))],
+        "column string, psi double, kl double, bins int",
+    )
+
+
+def q_daily_rollup(spark, sf_dir):
+    run = _flagship_run(spark, sf_dir)
+    return (
+        run.validated.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum((~F.col("passed")).cast("long")).alias("failed"),
+            F.round(
+                F.avg(F.col("passed").cast("double")) * 100.0, 4
+            ).alias("pass_rate"),
+        )
+    )
+
+
+# ---- classic relational operators over the TPC-H-ish tables ---------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev
+
+
+def q_latest_order_per_customer(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# ---- dedup family ----------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(dedup.content_digest(F.col("text"))).alias("n_distinct"),
+    )
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    p = dedup.jaccard_pairs(d, k=3, threshold=0.8)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    p = dedup.minhash_near_duplicates(d, k=3, num_hashes=32, bands=8, threshold=0.8)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(d, max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = similarity.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+# ---- similarity search -----------------------------------------------------
+
+
+def _query_vec(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    return e.filter("vec_id = 0").select("embedding").collect()[0][0]
+
+
+def q_knn_cosine(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    scored = e.select(
+        "vec_id",
+        F.round(
+            similarity.cosine(F.col("embedding"), similarity._lit_vec(qv)), 6
+        ).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.col("vec_id")).limit(10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    e = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    out = similarity.ann_lsh_topk(e, qv, k=10, planes=8, probe_hamming=2)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ---- text analysis ---------------------------------------------------------
+
+
+def q_text_quality(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return textstats.quality_features(d)
+
+
+def q_lang_id(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    pred = textstats.lang_id(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return textstats.token_stats(d)
+
+
+def q_fingerprints(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return textstats.doc_fingerprints(d)
+
+
+# ---- multimodal plumbing ---------------------------------------------------
+
+
+def q_media_stats(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return multimodal.payload_stats(multimodal.media_from_documents(d))
+
+
+def q_media_frames(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.media_from_documents(d))
+
+
+def q_media_features(spark, sf_dir):
+    """mapInPandas feature extraction (deterministic fake decode) —
+    non-SQL (rows-only check)."""
+    d = _read(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.media_from_documents(d))
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feature_sum"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_violation_counts": q_violation_counts,
+        "flagship_violation_rows": q_violation_rows,
+        "flagship_partition_verdicts": q_partition_verdicts,
+        "uniqueness_duplicates": q_uniqueness,
+        "referential_tool_invalid": q_referential_tool,
+        "referential_role_invalid": q_referential_role,
+        "completeness_null_pct": q_completeness,
+        "stats_turn_idx": q_stats,
+        "freshness_bounds": q_freshness,
+        "drift_histogram_textlen": q_drift_histogram,
+        "drift_psi_textlen": q_drift_psi,
+        "daily_rollup": q_daily_rollup,
+        "tpch_pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding,
+        "knn_cosine_top10": q_knn_cosine,
+        "ann_lsh_top10": q_ann_lsh,
+        "text_quality_features": q_text_quality,
+        "lang_id_confusion": q_lang_id,
+        "token_stats_by_source": q_token_stats,
+        "doc_fingerprints": q_fingerprints,
+        "media_payload_stats": q_media_stats,
+        "media_frame_sample": q_media_frames,
+        "media_features_pandas": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-portable ANSI)
+# ---------------------------------------------------------------------------
+
+_STOP = {
+    "en": "('the','and','of','to','is','in','that','it','for','with')",
+    "es": "('el','la','de','que','y','en','los','del','se','por')",
+    "de": "('der','die','und','das','ist','nicht','mit','ein','zu','den')",
+    "fr": "('le','la','les','et','des','est','une','dans','que','pour')",
+}
+
+_WS_TOKS = "list_filter(string_split_regex(trim({t}), '\\s+'), x -> x <> '')"
+
+
+def _stop_cnt(lang: str, t: str = "text") -> str:
+    return (
+        f"len(list_filter(list_transform({_WS_TOKS.format(t=t)}, x -> lower(x)),"
+        f" x -> x IN {_STOP[lang]}))"
+    )
+
+
+_SHINGLES = """
+toks AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS tok
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS s FROM documents)
+),
+shingles AS (
+  SELECT DISTINCT a.doc_id,
+         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id)
+"""
+
+_JACCARD_SQL = (
+    "WITH "
+    + _SHINGLES
+    + """
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+"""
+)
+
+_COSINE = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_PUNCT_RE = "[^.,;:!?''\"()\\[\\]-]"  # '' = escaped quote inside SQL literal
+
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    hist_case = "CASE "
+    for i, e in enumerate(TEXTLEN_EDGES):
+        hist_case += f"WHEN length(text) <= {e} THEN {i} "
+    hist_case += f"ELSE {len(TEXTLEN_EDGES)} END"
+
+    return {
+        "flagship_violation_counts": _T
+        + f"""
+SELECT error_type, count(*)::BIGINT AS n FROM (
+  SELECT 'ENUM_MISMATCH' AS error_type FROM transcripts
+    WHERE role NOT IN ('system','user','assistant','tool')
+  UNION ALL
+  SELECT 'LENGTH_TOO_SHORT' FROM transcripts WHERE length(text) < 1
+  UNION ALL
+  SELECT 'VALUE_TOO_SMALL' FROM transcripts WHERE turn_idx < 0
+  UNION ALL
+  SELECT 'TIMESTAMP_TOO_OLD' FROM transcripts
+    WHERE ts < TIMESTAMP '2020-01-01 00:00:00'
+) v GROUP BY error_type
+""",
+        "flagship_violation_rows": _T
+        + """
+SELECT conv_id, turn_idx, 'role' AS field, 'ENUM_MISMATCH' AS error_type,
+       role AS value
+  FROM transcripts WHERE role NOT IN ('system','user','assistant','tool')
+UNION ALL
+SELECT conv_id, turn_idx, 'text', 'LENGTH_TOO_SHORT', text
+  FROM transcripts WHERE length(text) < 1
+UNION ALL
+SELECT conv_id, turn_idx, 'turn_idx', 'VALUE_TOO_SMALL',
+       cast(turn_idx AS string)
+  FROM transcripts WHERE turn_idx < 0
+UNION ALL
+SELECT conv_id, turn_idx, 'ts', 'TIMESTAMP_TOO_OLD',
+       substring(cast(ts AS string), 1, 100)
+  FROM transcripts WHERE ts < TIMESTAMP '2020-01-01 00:00:00'
+""",
+        "flagship_partition_verdicts": _T
+        + f"""
+SELECT conv_id,
+       count(*)::BIGINT AS total,
+       sum(CASE WHEN {_FAIL} THEN 0 ELSE 1 END)::BIGINT AS passed_count,
+       sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT AS failed_count,
+       CASE WHEN sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END) = 0
+            THEN 'PASS' ELSE 'FAIL' END AS verdict
+FROM transcripts GROUP BY conv_id
+""",
+        "uniqueness_duplicates": _T
+        + """
+SELECT conv_id, turn_idx, count(*)::BIGINT AS dup_count
+FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
+""",
+        "referential_tool_invalid": _T
+        + """
+SELECT tool, count(*)::BIGINT AS n FROM transcripts
+WHERE tool IS NOT NULL AND tool NOT IN ('search','browser','python','sql')
+GROUP BY tool
+""",
+        "referential_role_invalid": _T
+        + """
+SELECT role, count(*)::BIGINT AS n FROM transcripts
+WHERE role IS NOT NULL
+  AND role NOT IN ('system','user','assistant','tool')
+GROUP BY role
+""",
+        "completeness_null_pct": _T
+        + """
+SELECT count(*)::BIGINT AS total,
+       round(avg(CASE WHEN tool IS NULL THEN 1.0 ELSE 0.0 END) * 100.0, 4)
+         AS tool_null_pct
+FROM transcripts
+""",
+        "stats_turn_idx": _T
+        + """
+SELECT round(avg(turn_idx), 4) AS mean_turn_idx,
+       round(stddev_pop(turn_idx), 4) AS std_turn_idx
+FROM transcripts
+""",
+        "freshness_bounds": _T
+        + "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM transcripts",
+        "drift_histogram_textlen": _T
+        + f"""
+SELECT ({hist_case})::BIGINT AS bin, count(*)::BIGINT AS cnt
+FROM transcripts GROUP BY 1
+""",
+        "daily_rollup": _T
+        + f"""
+SELECT cast(ts AS DATE) AS day,
+       count(*)::BIGINT AS total,
+       sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT AS failed,
+       round(avg(CASE WHEN {_FAIL} THEN 0.0 ELSE 1.0 END) * 100.0, 4)
+         AS pass_rate
+FROM transcripts GROUP BY 1
+""",
+        "tpch_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "latest_order_per_customer": """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) t WHERE rn = 1
+""",
+        "dedup_exact": """
+SELECT count(*)::BIGINT AS n_docs,
+       count(DISTINCT md5(text))::BIGINT AS n_distinct
+FROM documents
+""",
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_embedding_cosine": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_COSINE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.4
+""",
+        "knn_cosine_top10": f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({_COSINE.format(a='embedding', b='qv')}, 6) AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id LIMIT 10
+""",
+        "text_quality_features": f"""
+SELECT doc_id,
+       length(text)::INT AS n_chars,
+       len({_WS_TOKS.format(t='text')})::INT AS n_words,
+       round(CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
+             THEN length(text) * 1.0 / len({_WS_TOKS.format(t='text')})
+             ELSE 0.0 END, 4) AS mean_word_len,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) * 1.0
+                  / length(text) ELSE 0.0 END, 4) AS punct_ratio,
+       round(CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
+             THEN {_stop_cnt('en')} * 1.0 / len({_WS_TOKS.format(t='text')})
+             ELSE 0.0 END, 4) AS stopword_ratio,
+       round((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0 END)
+           + (CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
+                    AND length(text) * 1.0 / len({_WS_TOKS.format(t='text')})
+                        BETWEEN 2.0 AND 15.0 THEN 0.2 ELSE 0 END)
+           + (CASE WHEN (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
+                              * 1.0 / length(text) ELSE 0.0 END) <= 0.2
+                   THEN 0.2 ELSE 0 END)
+           + (CASE WHEN (CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
+                         THEN {_stop_cnt('en')} * 1.0
+                              / len({_WS_TOKS.format(t='text')}) ELSE 0.0 END)
+                        >= 0.01 THEN 0.2 ELSE 0 END)::DOUBLE, 2)
+         AS quality_score
+FROM documents
+""",
+        "lang_id_confusion": f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_stop_cnt('en')} AS s_en, {_stop_cnt('es')} AS s_es,
+         {_stop_cnt('de')} AS s_de, {_stop_cnt('fr')} AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              ELSE 'de' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+""",
+        "token_stats_by_source": f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len({_WS_TOKS.format(t='text')}))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_RE}')))::BIGINT AS bpe_tokens,
+       sum(length(text))::BIGINT AS chars
+FROM documents GROUP BY source
+""",
+        "doc_fingerprints": """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+         (acc, x) -> (acc * 31 + x) % 1000000007
+       ) AS fp
+FROM documents
+""",
+        "media_payload_stats": """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       length(text)::INT AS payload_bytes,
+       sha256(text) AS payload_sha256,
+       (length(text) % 1920)::INT AS width,
+       (length(text) * 40)::INT AS duration_ms
+FROM documents
+""",
+        "media_frame_sample": """
+SELECT doc_id AS media_id, unnest(range(0, length(text) * 40, 1000))::BIGINT
+         AS frame_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
+    }

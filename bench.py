@@ -1,0 +1,122 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+The flagship number is the full contract suite (schema rules + quality
+aggregates + salted uniqueness + broadcast referential + PSI drift) over
+the transcripts table derived from events — the BASELINE.json metric is
+validated turns/sec for exactly that job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from data_contract_engine_spark import build_session
+from data_contract_engine_spark.engine import ContractEngine
+from data_contract_engine_spark.fixtures.transcripts import FLAGSHIP_CONTRACT_YAML
+from data_contract_engine_spark.fixtures.transcripts_sql import (
+    spark_transcripts_from_events,
+)
+from data_contract_engine_spark.operators import dedup, similarity, textstats
+
+import __spark_entry__ as entrymod
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_session(
+        app_name="dce-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    queries = {}
+    meta = {}
+
+    # q1 — full contract suite over transcripts (the authoritative metric)
+    tr = spark_transcripts_from_events(
+        spark, spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).cache()
+    n_turns = tr.count()  # materialize cache so q1 times the suite, not the derive
+
+    def full_suite():
+        eng = ContractEngine(spark, drift_baseline=tr)
+        run = eng.validate(
+            tr, FLAGSHIP_CONTRACT_YAML, key_columns=["conv_id", "turn_idx"]
+        )
+        rep = run.report()
+        n_viol = run.violations().count()
+        return rep.total_records, n_viol
+
+    queries["full_contract_suite"], (total, n_viol) = timed(full_suite)
+    meta["validated_turns"] = total
+    meta["violations"] = n_viol
+    meta["validated_turns_per_sec"] = round(total / queries["full_contract_suite"], 1)
+
+    # q2 — minhash LSH near-dup pipeline over documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries["dedup_minhash_lsh"], _ = timed(
+        lambda: dedup.minhash_near_duplicates(docs, threshold=0.8).count()
+    )
+
+    # q3 — similarity search (exact + LSH) over embeddings
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+
+    def sim():
+        similarity.cosine_topk(emb, qv, 10).collect()
+        similarity.ann_lsh_topk(emb, qv, 10, planes=8, probe_hamming=2).collect()
+
+    queries["similarity_search"], _ = timed(sim)
+
+    # q4 — relational: pricing summary + 5-way broadcast join
+    queries["tpch_agg_join"], _ = timed(
+        lambda: (
+            entrymod.q_pricing_summary(spark, sf_dir).collect(),
+            entrymod.q_revenue_by_nation(spark, sf_dir).collect(),
+        )
+    )
+
+    # q5 — text-analysis pipeline over documents (quality + lang + tokens + fp)
+    def text_pipeline():
+        textstats.quality_features(docs).count()
+        textstats.lang_id(docs).count()
+        textstats.token_stats(docs).collect()
+        textstats.doc_fingerprints(docs).count()
+
+    queries["text_pipeline"], _ = timed(text_pipeline)
+
+    total_sec = sum(queries.values())
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": round(total_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "throughput": meta,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,357 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Beyond the reference's uniqueness rule (`app/core/quality_validator.py:157-182`
+checks exact key duplicates only), a 100 TB training-data pipeline needs
+*near*-duplicate detection. All operators here are pure DataFrame
+compositions — no Python UDFs — so they stay inside WholeStageCodegen and
+scale by partitioning:
+
+* **exact**: hash-groupBy on a content digest — one shuffle on the digest,
+  map-side partial aggregation makes it skew-tolerant (identical docs are
+  rare per partition).
+* **n-gram Jaccard**: the exact verifier. Shingle → explode → self-join on
+  shingle → per-pair intersection counts. O(sum of shingle-frequency²) —
+  intended for *candidate verification*, not all-pairs at scale. Common
+  shingles are the skew hazard; ``max_shingle_freq`` drops stop-shingles
+  (standard in practice — a shingle shared by thousands of docs carries no
+  dedup signal but quadratic join cost).
+* **MinHash + LSH**: the scale path. Signatures via ``min(xxhash64(shingle,
+  band_seed))`` — one groupBy per doc; banding → bucket join so only
+  same-bucket pairs are compared; candidates verified with exact Jaccard.
+  At 10^11 docs this is shingle-explode (map), one hash-agg (shuffle on
+  doc_id), one bucket self-join (shuffle on small band hashes).
+* **SimHash**: 64-bit signature from per-bit token-hash voting; near-dups =
+  small Hamming distance, found via 16-bit band buckets (any pair within
+  Hamming ≤ 3 of 64 bits shares at least one of 4 bands).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def content_digest(text: Column) -> Column:
+    """Stable content hash for exact dedup (md5 hex, portable to SQL oracles)."""
+    return F.md5(text.cast("binary"))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_hash, n_docs, min_doc_id) for content appearing more than once.
+
+    One shuffle on the digest; partial aggregation map-side.
+    """
+    return (
+        df.select(
+            content_digest(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per distinct content.
+
+    window-free: min-id per digest then semi-join back, so the heavy side
+    shuffles once on the digest.
+    """
+    keep = (
+        df.select(
+            content_digest(F.col(text_col)).alias("__h"), F.col(id_col).alias("__id")
+        )
+        .groupBy("__h")
+        .agg(F.min("__id").alias("__keep"))
+    )
+    return df.join(
+        keep,
+        (content_digest(F.col(text_col)) == keep["__h"])
+        & (F.col(id_col) == keep["__keep"]),
+        "left_semi",
+    )
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), TOKEN_SPLIT)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of distinct k-word shingles of ``text`` (space-joined)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(sh)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) — one row per distinct shingle per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
+
+    Exact — use on small inputs or LSH candidates. ``max_shingle_freq``
+    drops shingles shared by more than that many docs (stop-shingle skew
+    guard for the self-join).
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
+        sh = (
+            sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
+            .select("id", "shingle")
+        )
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
+
+    One shingle explode + ONE hash-aggregate: all `num_hashes` mins are
+    computed in the same groupBy (partial agg map-side), so signature width
+    costs no extra shuffles.
+    """
+    sh = shingle_table(df, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__mh{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Band hash = xxhash64 over the band's signature slice. The bucket join
+    shuffles only (band, bucket) keys; identical-band groups are tiny by
+    construction (docs per bucket ≈ near-duplicate cluster size).
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    .cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard (the scale pipeline):
+    returns (id_a, id_b, jaccard) ≥ threshold."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    cand = lsh_candidates(sigs, bands, rows_per_band)
+    # verify only candidate pairs: semi-join the shingle table down first
+    ids = cand.select(F.col("id_a").alias("id")).union(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sub = df.join(
+        ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col, "left_semi"
+    )
+    pairs = jaccard_pairs(sub, id_col, text_col, k, threshold)
+    return pairs.join(cand, ["id_a", "id_b"], "left_semi")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
+
+    Token-level explode, then ONE aggregate computing all 64 bit-votes
+    (sum of ±1 per bit) map-side; the signature assembles driver-free with
+    bit arithmetic. No UDFs.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"__b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1).cast("long") * (2**b) if b < 63
+                      else F.lit(-(2**63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation via 4×16-bit band buckets (pigeonhole: hamming ≤ 3
+    ⇒ at least one band identical), then exact popcount verification via
+    bit_count — both stages shuffle only small keys.
+    """
+    sig = simhash(df, id_col, text_col)
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.chunk")
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    pairs = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select(
+        "id_a", "id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold via random-hyperplane
+    LSH bucketing (see :mod:`.similarity` for the plane construction);
+    exact cosine verified on same-bucket pairs only."""
+    from .similarity import cosine, hyperplane_bucket
+
+    with_b = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), planes=planes, seed=seed).alias("bucket"),
+    )
+    a = with_b.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = with_b.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") >= threshold).distinct()

@@ -1,0 +1,171 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (polynomial rolling hash). All pure Column
+expressions — vectorized, codegen-fused, no Python in the hot path; every
+function returns a projection over the input (zero shuffles), so they
+compose freely with dedup/validation scans.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword vocabularies for the n-gram/stopword
+# language-ID heuristic. Deliberately small + disjoint-ish.
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "dans", "que", "pour"),
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_REGEX), F.lit(0)))
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]-]", ""))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    toks = F.transform(ws_tokens(text), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + a composite score in [0, 1].
+
+    Heuristics (standard pretraining-filter shape, cf. C4/Gopher rules):
+    penalize too-short / too-long docs, low mean word length, punctuation
+    floods, and vanishing stopword ratio.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = ws_token_count(t)
+    mean_word_len = F.when(n_words > 0, n_chars.cast("double") / n_words).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(t).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stopword_count(t).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+
+    len_ok = (n_chars >= 50) & (n_chars <= 100000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 15.0)
+    punct_ok = punct_ratio <= 0.2
+    stop_ok = stop_ratio >= 0.01
+
+    score = (
+        len_ok.cast("double") * 0.4
+        + word_len_ok.cast("double") * 0.2
+        + punct_ok.cast("double") * 0.2
+        + stop_ok.cast("double") * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus token accounting per group: whitespace and BPE-ish counts —
+    one scan, one tiny groupBy shuffle."""
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(group_col),
+            ws_token_count(t).alias("__ws"),
+            bpe_token_count(t).alias("__re"),
+            F.length(t).alias("__ch"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").alias("ws_tokens"),
+            F.sum("__re").alias("bpe_tokens"),
+            F.sum("__ch").alias("chars"),
+        )
+    )
+
+
+def lang_scores(text: Column) -> Dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    return {lang: stopword_count(text, lang) for lang in STOPWORDS}
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Predicted language = argmax stopword hits; 'und' (undetermined) when
+    no stopwords hit at all. Deterministic tie-break = lexicographic lang
+    order via greatest-struct trick."""
+    scores = lang_scores(F.col(text_col))
+    packed = [
+        F.struct(
+            c.alias("hits"),
+            # invert lang for DESC tie-break inside greatest() (asc on lang)
+            F.lit(lang).alias("lang"),
+        )
+        for lang, c in sorted(scores.items(), reverse=True)
+    ]
+    best = F.greatest(*packed) if len(packed) > 1 else packed[0]
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(
+    text: Column, mod: int = 1_000_000_007, base: int = 31
+) -> Column:
+    """Polynomial rolling hash over characters: h = (h*base + code) % mod.
+
+    Values stay < mod·base + 2^21 « 2^63 so the fold never overflows in
+    any engine; expressible in portable SQL (list_reduce) for the oracle.
+    """
+    # split into chars; Java split keeps a trailing '' with limit -1 — drop it
+    chars = F.filter(F.split(text, "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

@@ -1,0 +1,176 @@
+"""Tests for training-data pipeline operators: dedup, similarity,
+textstats, multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_contract_engine_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "a"),  # near-dup of 0
+        (2, "completely different content about spark shuffles", "en", "b"),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "b"),  # exact dup of 0
+        (4, "el perro y el gato en la casa de la abuela", "es", "b"),
+        (5, "zzz qqq xxx", "und", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 0
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 5
+    assert kept.filter("doc_id = 3").count() == 0  # dup loses to min id
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert (1, 3) in pairs
+    assert not any(2 in p or 4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_duplicates(
+            docs, num_hashes=32, bands=8, threshold=0.6
+        ).collect()
+    }
+    # LSH output is a subset of exact pairs, and high-sim pairs are found
+    assert approx <= exact
+    assert (0, 3) in approx
+
+
+def test_simhash(spark, docs):
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[3]  # identical docs → identical signature
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=16).collect()
+    }
+    assert pairs[(0, 3)] == 0
+
+
+def test_cosine_topk_and_variants(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], 2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["sim"] == pytest.approx(1.0)
+    # pandas scorer agrees with the JVM fold
+    ptop = similarity.cosine_topk_pandas(emb, [1.0, 0.0, 0.0], 2).collect()
+    assert [r["vec_id"] for r in ptop] == [0, 1]
+    for a, b in zip(top, ptop):
+        assert a["sim"] == pytest.approx(b["sim"], abs=1e-12)
+    # multi-query path
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "q_id long, q_vec array<float>",
+    )
+    multi = similarity.cosine_topk_multi(emb, qdf, k=1).collect()
+    got = {r["q_id"]: r["vec_id"] for r in multi}
+    assert got == {0: 0, 1: 2}
+
+
+def test_ann_lsh_recovers_exact_neighbor(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[5][1]
+    exact = similarity.cosine_topk(emb, q, 1).collect()[0]["vec_id"]
+    approx = similarity.ann_lsh_topk(
+        emb, q, 1, planes=6, probe_hamming=1
+    ).collect()
+    assert approx and approx[0]["vec_id"] == exact == 5
+
+
+def test_quality_features(spark, docs):
+    q = {r["doc_id"]: r for r in textstats.quality_features(docs).collect()}
+    assert q[0]["n_words"] == 9
+    assert q[0]["stopword_ratio"] > 0.2
+    assert q[5]["stopword_ratio"] == 0.0
+    assert q[5]["quality_score"] < q[0]["quality_score"]
+
+
+def test_lang_id(spark, docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in textstats.lang_id(docs).collect()}
+    assert pred[0] == "en" and pred[4] == "es" and pred[5] == "und"
+
+
+def test_fingerprint_matches_python(spark, docs):
+    got = {r["doc_id"]: r["fp"] for r in textstats.doc_fingerprints(docs).collect()}
+
+    def py_fp(s, mod=1_000_000_007, base=31):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    for r in docs.collect():
+        assert got[r["doc_id"]] == py_fp(r["text"]), r["doc_id"]
+    assert got[0] == got[3] and got[0] != got[1]
+
+
+def test_token_counts(spark, docs):
+    stats = {r["source"]: r for r in textstats.token_stats(docs).collect()}
+    assert stats["a"]["n_docs"] == 2
+    assert stats["a"]["ws_tokens"] == 18
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    stats = {r["media_id"]: r for r in multimodal.payload_stats(media).collect()}
+    assert stats[0]["payload_bytes"] == len(docs.collect()[0]["text"])
+    assert len(stats[0]["payload_sha256"]) == 64
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r["features"]) == multimodal.N_FEATURES
+        assert sum(r["features"]) == pytest.approx(1.0)
+    # identical payloads → identical features, deterministic
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert by_id[0] == by_id[3]
+    # decode stub is explicit
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"x", "image", "image/png")
+
+
+def test_frame_sampling(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    vids = media.filter("kind = 'video'").select(
+        "media_id", F.col("meta.duration_ms").alias("d")
+    ).collect()
+    expect = sum(math.ceil(v["d"] / 1000) if v["d"] > 0 else 1 for v in vids)
+    assert frames.count() == expect
