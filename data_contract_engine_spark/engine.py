@@ -37,9 +37,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .compiler.expressions import CompileOptions, CompiledContract, compile_contract
 from .contracts.model import Contract, SEVERITY_ERROR
 from .contracts.parser import parse_contract_yaml
+from .operators import drift as drift_op
 from .operators import referential as ref_op
 from .operators import uniqueness as uniq_op
-from .operators.drift import psi_kl
 from .quality.aggregates import (
     QualityError,
     QualityResult,
@@ -118,21 +118,62 @@ class ValidationRun:
         )
 
     def report(self, sample_errors: int = 50) -> BatchReport:
+        """One fused agg pass computes schema counters + freshness +
+        completeness + statistics + literal-vocab referential + drift
+        current-histograms; only uniqueness (its own shuffle), table-backed
+        referential (broadcast anti-join) and the error summary add jobs.
+        Baseline drift edges/histograms cost two small jobs over the
+        baseline (in production: a persisted stats snapshot, zero jobs)."""
         if self._report is not None:
             return self._report
         t0 = time.time()
         rules = self.contract.quality
 
-        # ---- pass 1: schema verdict counters + fused quality aggregates
+        # ---- drift prep: edges + baseline histogram (2 baseline jobs)
+        drift_exprs: Dict[str, str] = {}
+        drift_edges: Dict[str, list] = {}
+        base_bins: Dict[str, list] = {}
+        baseline = self.engine.drift_baseline
+        if rules.drift and baseline is not None:
+            drift_exprs = {
+                col: spec.get("expr") or col
+                for col, spec in rules.drift.items()
+            }
+            bins_by_col = {
+                col: spec.get("bins", 10) for col, spec in rules.drift.items()
+            }
+            # all columns' quantiles in one baseline agg
+            drift_edges = drift_op.multi_quantile_edges(
+                baseline, drift_exprs, bins=max(bins_by_col.values())
+            )
+            drift_edges = {c: e for c, e in drift_edges.items() if e}
+            if drift_edges:
+                base_row = (
+                    baseline.agg(
+                        *drift_op.multi_histogram_exprs(drift_edges, drift_exprs)
+                    )
+                    .collect()[0]
+                    .asDict()
+                )
+                base_bins = {
+                    c: drift_op.decode_histogram_row(
+                        base_row, c, len(drift_edges[c]) + 1
+                    )
+                    for c in drift_edges
+                }
+
+        # ---- pass 1: schema verdict counters + all fused quality aggs
         agg_exprs = [
             F.count(F.lit(1)).alias("__total"),
             F.sum(F.col("passed").cast("long")).alias("__passed"),
         ]
-        with_cols = self.df
         quality_exprs = build_quality_agg_exprs(self.df, rules)
-        # run both over the validated frame (it carries the source columns)
-        joined = self.validated
-        agg_row = joined.agg(
+        if drift_edges:
+            quality_exprs += drift_op.multi_histogram_exprs(
+                drift_edges, drift_exprs
+            )
+        # run over the validated frame (it carries the source columns)
+        agg_row = self.validated.agg(
             *agg_exprs,
             *[e for e in quality_exprs],
         ).collect()[0].asDict()
@@ -168,8 +209,8 @@ class ValidationRun:
         if rules.any() and passed > 0:
             qerrors = decode_quality_row(agg_row, rules, now_epoch=self._now())
             qerrors += self._uniqueness_errors()
-            qerrors += self._referential_errors()
-            qerrors += self._drift_errors()
+            qerrors += self._referential_table_errors()
+            qerrors += self._drift_errors_fused(agg_row, drift_edges, base_bins)
             score = quality_score(qerrors)
             qpassed = not any(e.severity == SEVERITY_ERROR for e in qerrors)
             quality = QualityResult(
@@ -241,12 +282,16 @@ class ValidationRun:
             out = out.unionByName(f)
         return out
 
-    def _referential_errors(self) -> List[QualityError]:
+    def _referential_table_errors(self) -> List[QualityError]:
+        """Table-backed vocabularies only (literal-value vocabs fuse into
+        the main agg pass): broadcast anti-join per column."""
         rules = self.contract.quality
         if not rules.referential:
             return []
         out: List[QualityError] = []
         for column, spec in rules.referential.items():
+            if "values" in spec:
+                continue  # handled in the fused agg
             vocab = self._resolve_vocab(column, spec)
             if vocab is None:
                 continue
@@ -287,24 +332,33 @@ class ValidationRun:
         except Exception:
             return None
 
-    def _drift_errors(self) -> List[QualityError]:
+    def _drift_errors_fused(
+        self,
+        agg_row: Dict[str, Any],
+        drift_edges: Dict[str, list],
+        base_bins: Dict[str, list],
+    ) -> List[QualityError]:
+        """Score drift from the fused current-histogram counts in
+        ``agg_row`` vs the baseline histogram: all columns in ONE
+        Arrow-batched applyInPandas job over the tiny histogram relation."""
         rules = self.contract.quality
-        if not rules.drift:
+        if not rules.drift or not drift_edges:
             return []
-        baseline = self.engine.drift_baseline
-        if baseline is None:
-            return []
+        per_col = {}
+        for column in rules.drift:
+            if column not in drift_edges:
+                continue
+            n_bins = len(drift_edges[column]) + 1
+            cur = drift_op.decode_histogram_row(agg_row, column, n_bins)
+            per_col[column] = (cur, base_bins[column])
+        scores = drift_op.score_histograms_pandas(self.engine.spark, per_col)
         out: List[QualityError] = []
         for column, spec in rules.drift.items():
+            score = scores.get(column)
+            if score is None:
+                continue
             metric = spec.get("metric", "psi")
             threshold = spec.get("threshold", 0.2)
-            bins = spec.get("bins", 10)
-            expr = spec.get("expr")  # e.g. "length(text)"
-            cur = self.df.selectExpr(f"{expr} as {column}") if expr \
-                else self.df.select(column)
-            base = baseline.selectExpr(f"{expr} as {column}") if expr \
-                else baseline.select(column)
-            score = psi_kl(cur, base, column, bins=bins)
             value = score.psi if metric == "psi" else score.kl
             if value > threshold:
                 out.append(

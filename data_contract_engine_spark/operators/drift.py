@@ -133,6 +133,116 @@ def psi_kl(
     return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
 
 
+def bin_expr(value, edges: Sequence[float]):
+    """CASE-chain bin id for one value expression (Column or SQL string);
+    codegen-fused. Returns (bin_col, value_col)."""
+    v = (F.expr(value) if isinstance(value, str) else value).cast("double")
+    expr = None
+    for i, e in enumerate(edges):
+        cond = v <= F.lit(float(e))
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    return (F.lit(0) if expr is None else expr.otherwise(F.lit(len(edges)))), v
+
+
+def multi_quantile_edges(
+    df: DataFrame, exprs: dict, bins: int = 10, accuracy: int = 10000
+) -> dict:
+    """Bin edges for MANY columns in ONE aggregate pass over the baseline.
+
+    ``exprs``: {name: sql_expr_string}. Returns {name: [edges...]}.
+    """
+    probs = {}
+    aggs = []
+    for name, e in exprs.items():
+        p = [i / bins for i in range(1, bins)]
+        probs[name] = p
+        aggs.append(
+            F.percentile_approx(F.expr(e).cast("double"), p, accuracy).alias(
+                f"__q__{name}"
+            )
+        )
+    row = df.agg(*aggs).collect()[0]
+    out = {}
+    for name in exprs:
+        qs = row[f"__q__{name}"] or []
+        out[name] = sorted({q for q in qs if q is not None})
+    return out
+
+
+def multi_histogram_exprs(edges_by_name: dict, exprs: dict) -> List:
+    """Fused per-bin count aggregate expressions for many columns —
+    meant to ride along in the engine's single global agg pass.
+
+    Aliases: ``__driftbin__{name}__{i}``.
+    """
+    out = []
+    for name, edges in edges_by_name.items():
+        b, v = bin_expr(exprs[name], edges)
+        for i in range(len(edges) + 1):
+            out.append(
+                F.sum(
+                    F.when(v.isNotNull() & (b == i), 1).otherwise(0)
+                ).alias(f"__driftbin__{name}__{i}")
+            )
+    return out
+
+
+def decode_histogram_row(row: dict, name: str, n_bins: int) -> List[int]:
+    return [int(row.get(f"__driftbin__{name}__{i}") or 0) for i in range(n_bins)]
+
+
+def score_histograms_pandas(
+    spark, per_column: dict
+) -> dict:
+    """Score MANY columns' drift in ONE Arrow-batched applyInPandas job.
+
+    ``per_column``: {name: (cur_counts, base_counts)} — tiny lists.
+    Returns {name: DriftScore}. The pandas/Arrow UDF is the designated
+    place for the KL/PSI arithmetic (north rule); input is the bins-sized
+    histogram relation, never row data.
+    """
+    import pandas as pd
+
+    rows = []
+    for name, (cur, base) in per_column.items():
+        for i, (c, b) in enumerate(zip(cur, base)):
+            rows.append((name, i, int(c), int(b)))
+    if not rows:
+        return {}
+    hist = spark.createDataFrame(
+        rows, "column string, bin int, cur_cnt long, base_cnt long"
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        c = pdf["cur_cnt"].to_numpy(dtype="float64")
+        b = pdf["base_cnt"].to_numpy(dtype="float64")
+        p = (c + EPS) / (c.sum() + EPS * len(c))
+        q = (b + EPS) / (b.sum() + EPS * len(b))
+        lr = np.log(p / q)
+        return pd.DataFrame(
+            {
+                "column": [key[0]],
+                "psi": [float(((p - q) * lr).sum())],
+                "kl": [float((p * lr).sum())],
+                "bins": [len(c)],
+            }
+        )
+
+    out = (
+        hist.groupBy("column")
+        .applyInPandas(score, "column string, psi double, kl double, bins long")
+        .collect()
+    )
+    return {
+        r["column"]: DriftScore(
+            column=r["column"], psi=r["psi"], kl=r["kl"], bins=r["bins"]
+        )
+        for r in out
+    }
+
+
 def psi_kl_exact(
     cur_counts: Sequence[float], base_counts: Sequence[float]
 ) -> tuple:

@@ -154,6 +154,29 @@ def build_quality_agg_exprs(
             v = F.col(c).cast("double")
             exprs.append(F.mean(v).alias(f"__mean__{c}"))
             exprs.append(F.stddev_pop(v).alias(f"__stdpop__{c}"))
+
+    # referential with literal vocab fuses into the same pass: invalid
+    # count + top-5 sorted examples per column (table-backed vocabularies
+    # go through the broadcast anti-join path in the engine instead).
+    if rules.referential:
+        for c, spec in rules.referential.items():
+            if "values" not in spec or c not in schema_by_name:
+                continue
+            invalid = F.col(c).isNotNull() & ~F.col(c).isin(*spec["values"])
+            exprs.append(
+                F.sum(invalid.cast("long")).alias(f"__refbad__{c}")
+            )
+            exprs.append(
+                F.slice(
+                    F.sort_array(
+                        F.collect_set(
+                            F.when(invalid, F.col(c).cast("string"))
+                        )
+                    ),
+                    1,
+                    5,
+                ).alias(f"__refex__{c}")
+            )
     return exprs
 
 
@@ -218,6 +241,24 @@ def decode_quality_row(
                             details={"field": col, "null_percentage": val},
                         )
                     )
+
+    if rules.referential:
+        for col in rules.referential:
+            n_bad = row.get(f"__refbad__{col}")
+            if n_bad is None or not n_bad:
+                continue
+            examples = row.get(f"__refex__{col}") or []
+            errors.append(
+                QualityError(
+                    rule_type="REFERENTIAL",
+                    message=(
+                        f"Field '{col}' has {n_bad} values outside the "
+                        f"reference vocabulary: {', '.join(examples)}"
+                    ),
+                    severity=SEVERITY_ERROR,
+                    details={"field": col, "invalid_count": n_bad},
+                )
+            )
 
     if rules.statistics:
         for col, constraints in rules.statistics.items():

@@ -1,0 +1,112 @@
+"""File sources: CSV / JSON / JSONL readers + dispatch (SURVEY.md §2.1).
+
+Replaces the reference's pandas chunk iterators
+(`app/core/file_handlers.py:27-158`) with native Spark readers:
+
+  * CSV (S1): ``mode=PERMISSIVE`` keeps bad lines as null-rows instead of
+    erroring (analog of ``on_bad_lines="warn"``); column names are
+    trimmed like the reference's ``str.strip()``; values stay strings so
+    the contract compiler's try_cast path reports TYPE_MISMATCH exactly
+    like the dynamic-typed reference;
+  * JSON (S2): ``multiLine=true`` whole-document parse; a top-level
+    ``{"data": [...]}`` envelope is unwrapped; a single top-level object
+    becomes a 1-row frame;
+  * JSONL (S3): line mode; invalid lines land in
+    ``_corrupt_record`` and are dropped with a counted warning (the
+    reference logs-and-skips);
+  * dispatch (S5): extension- or explicit-format based.
+
+The production source is a table catalog scan
+(``spark.read.format("iceberg").load``) — file ingestion is the
+compatibility path for the reference's upload pipeline.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+log = logging.getLogger(__name__)
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    df = (
+        spark.read.option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("inferSchema", infer_schema)
+        .csv(path)
+    )
+    renames = {c: c.strip() for c in df.columns if c != c.strip()}
+    for old, new in renames.items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
+def read_json(spark: SparkSession, path: str) -> DataFrame:
+    df = spark.read.option("multiLine", True).json(path)
+    # unwrap {"data": [...]} envelope (file_handlers.py:81-93 analog)
+    if df.columns == ["data"]:
+        dtype = dict(df.dtypes)["data"]
+        if dtype.startswith("array"):
+            df = df.select(F.explode("data").alias("r")).select("r.*")
+    return df
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, drop_corrupt: bool = True
+) -> Tuple[DataFrame, int]:
+    """(frame, n_corrupt). Invalid JSON lines are counted then dropped
+    (parity: reference skips them with a warning)."""
+    df = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    n_corrupt = 0
+    if CORRUPT_COL in df.columns:
+        # cache so the corrupt count and the clean frame share one scan
+        df = df.cache()
+        n_corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        if n_corrupt:
+            log.warning("read_jsonl: skipped %d invalid lines in %s",
+                        n_corrupt, path)
+        if drop_corrupt:
+            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        else:
+            df = df.drop(CORRUPT_COL)
+    return df, n_corrupt
+
+
+_EXT_FORMATS = {
+    "csv": "csv",
+    "json": "json",
+    "jsonl": "jsonl",
+    "ndjson": "jsonl",
+    "parquet": "parquet",
+}
+
+
+def read_source(
+    spark: SparkSession, path: str, file_format: Optional[str] = None
+) -> DataFrame:
+    """Handler dispatch (S5): explicit format wins, else file extension."""
+    fmt = (file_format or path.rsplit(".", 1)[-1]).lower()
+    fmt = _EXT_FORMATS.get(fmt)
+    if fmt == "csv":
+        return read_csv(spark, path)
+    if fmt == "json":
+        return read_json(spark, path)
+    if fmt == "jsonl":
+        return read_jsonl(spark, path)[0]
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    raise ValueError(f"unsupported file format for {path!r}: {file_format}")

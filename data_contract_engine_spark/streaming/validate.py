@@ -1,0 +1,105 @@
+"""Structured Streaming validation (SURVEY.md §2.9).
+
+The reference is batch-only; its streaming-shaped semantics map to:
+
+  * freshness ``max_latency_hours`` → event-time watermark; late rows
+    become FRESHNESS violations instead of being silently dropped (the
+    schema-rule projection is stateless, so no row is ever discarded by
+    the watermark — only the windowed aggregation state is bounded by it);
+  * 1000-record chunk processing → micro-batches via ``foreachBatch``,
+    which reuses the exact batch engine (report + checkpoint + sinks) per
+    micro-batch;
+  * per-chunk counters → windowed verdict aggregation with watermarked
+    tumbling windows.
+
+All schema rules ride the same compiled Column expressions as batch —
+one fused stateless projection — so streaming adds zero new rule code.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..compiler.expressions import CompileOptions, compile_contract
+from ..contracts.model import Contract
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    contract: Contract,
+    ts_col: str = "ts",
+    watermark: Optional[str] = None,
+    options: Optional[CompileOptions] = None,
+) -> DataFrame:
+    """Stateless fused validation projection over a streaming frame:
+    adds ``errors``/``passed`` plus a ``late`` flag derived from the
+    freshness rule (event-time age at processing time)."""
+    opts = options or CompileOptions()
+    compiled = compile_contract(contract, stream_df.schema, opts)
+    out = stream_df
+    if watermark:
+        out = out.withWatermark(ts_col, watermark)
+    out = out.select(
+        "*",
+        compiled.errors_col.alias(opts.errors_column),
+        compiled.passed_col.alias(opts.passed_column),
+    )
+    fresh = (contract.quality.freshness or {}).get("max_latency_hours")
+    if fresh and ts_col in stream_df.columns:
+        age_h = (
+            F.unix_timestamp(F.current_timestamp())
+            - F.unix_timestamp(F.col(ts_col))
+        ) / 3600.0
+        out = out.withColumn("late", age_h > F.lit(float(fresh)))
+    return out
+
+
+def windowed_verdicts(
+    validated: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window PASS/FAIL counters with a watermark bounding state
+    (the streaming analog of partition verdicts)."""
+    return (
+        validated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("passed").cast("long")).alias("passed_count"),
+            F.sum((~F.col("passed")).cast("long")).alias("failed_count"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total",
+            "passed_count",
+            "failed_count",
+            F.when(F.col("failed_count") == 0, "PASS").otherwise("FAIL").alias(
+                "verdict"
+            ),
+        )
+    )
+
+
+def foreach_batch_validator(
+    engine,
+    contract: Contract,
+    on_batch: Callable[[int, "object"], None],
+    key_columns: Optional[Sequence[str]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """Adapter running the FULL batch engine (quality aggregates included)
+    per micro-batch — the micro-batch is the chunk analog
+    (`batch_processor.py:45-68`). ``on_batch(batch_id, run)`` receives the
+    ValidationRun for sink wiring."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        run = engine.validate(batch_df, contract, key_columns=key_columns)
+        on_batch(batch_id, run)
+
+    return handle

@@ -1,0 +1,82 @@
+"""Checkpoint / resume: partition-granular re-runs validate only
+unfinished partitions; lineage change invalidates old checkpoints."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_contract_engine_spark import ContractEngine, parse_contract_yaml
+from data_contract_engine_spark.checkpoint import (
+    CheckpointStore,
+    lineage_hash,
+    validate_resumable,
+)
+
+CONTRACT = """
+contract_version: "1.0"
+schema:
+  conv_id: {type: string, required: true}
+  turn_idx: {type: integer, required: true, min: 0}
+"""
+
+
+@pytest.fixture()
+def data(spark):
+    rows = [(f"conv_{i % 4}", i // 4 if i != 7 else -1) for i in range(40)]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int")
+
+
+def test_resume_skips_done_partitions(spark, data, tmp_path):
+    eng = ContractEngine(spark)
+    contract = parse_contract_yaml(CONTRACT, name="ckpt-test")
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+
+    # first run: only partitions conv_0 / conv_1 are "reachable"
+    half = data.filter(F.col("conv_id").isin("conv_0", "conv_1"))
+    r1 = validate_resumable(
+        eng, half, contract, store, run_id="r1", partition_col="conv_id",
+        key_columns=["conv_id", "turn_idx"], ts_col=None,
+    )
+    assert r1.validated_now == 2 and r1.skipped == 0
+
+    # resume over the full input: the two done partitions are skipped
+    r2 = validate_resumable(
+        eng, data, contract, store, run_id="r1", partition_col="conv_id",
+        key_columns=["conv_id", "turn_idx"], ts_col=None,
+    )
+    assert r2.skipped == 2 and r2.validated_now == 2
+    # only pending partitions were scanned
+    scanned = {
+        r["conv_id"] for r in r2.run.validated.select("conv_id").distinct().collect()
+    }
+    assert scanned == {"conv_2", "conv_3"}
+
+    # fully done → no work
+    r3 = validate_resumable(
+        eng, data, contract, store, run_id="r1", partition_col="conv_id",
+        ts_col=None,
+    )
+    assert r3.run is None and r3.skipped == 4
+
+    # progress table carries per-partition stats incl. the failed row
+    prog = {
+        r["partition_key"]: r for r in store.progress("r1").collect()
+    }
+    assert len(prog) == 4
+    assert prog["conv_3"]["failed"] == 1  # turn_idx == -1 lives in conv_3
+    assert prog["conv_0"]["failed"] == 0
+
+
+def test_lineage_change_invalidates(spark, data, tmp_path):
+    eng = ContractEngine(spark)
+    c1 = parse_contract_yaml(CONTRACT, name="ckpt-test")
+    store = CheckpointStore(spark, str(tmp_path / "ckpt2"))
+    validate_resumable(
+        eng, data, c1, store, run_id="r1", partition_col="conv_id", ts_col=None
+    )
+    # same run id, changed contract → all partitions re-validate
+    c2 = parse_contract_yaml(CONTRACT.replace("min: 0", "min: 1"), name="ckpt-test")
+    assert lineage_hash(c1) != lineage_hash(c2)
+    r = validate_resumable(
+        eng, data, c2, store, run_id="r1", partition_col="conv_id", ts_col=None
+    )
+    assert r.skipped == 0 and r.validated_now == 4
