@@ -1,0 +1,194 @@
+"""spark-submit entry point.
+
+Cluster usage (north rule packaging requirement):
+
+    python scripts/package.py                     # builds dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/validate_job.py \
+        validate --input catalog.db.transcripts --contract contract.yaml \
+        --run-id nightly-2026-08-16 --partition-col conv_id \
+        --checkpoint s3://bucket/ckpt --violations-out s3://bucket/violations
+
+Local smoke:
+
+    python -m data_contract_engine_spark.cli validate \
+        --input /root/testdata/sf0.001/events.parquet --derive-transcripts \
+        --contract-template flagship
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from . import ContractEngine, build_session, parse_contract_yaml
+from .checkpoint import CheckpointStore, validate_resumable
+from .fixtures.transcripts import FLAGSHIP_CONTRACT_YAML
+from .fixtures.transcripts_sql import spark_transcripts_from_events
+from .metrics import rollup as rollup_mod
+from .sources import readers, sinks
+
+
+def _stop(spark: SparkSession) -> None:
+    """Stop the session unless embedded (tests / notebooks reuse one)."""
+    import os
+
+    if os.environ.get("DCE_CLI_KEEP_SESSION") != "1":
+        spark.stop()
+
+
+def _load_input(spark: SparkSession, args) -> "object":
+    if "/" in args.input or args.input.endswith(
+        (".parquet", ".csv", ".json", ".jsonl")
+    ):
+        df = readers.read_source(spark, args.input, args.format)
+    else:
+        df = spark.table(args.input)
+    if args.derive_transcripts:
+        df = spark_transcripts_from_events(spark, df)
+    return df
+
+
+def _load_contract(args):
+    if args.contract_template == "flagship":
+        return parse_contract_yaml(FLAGSHIP_CONTRACT_YAML, name="flagship")
+    with open(args.contract) as f:
+        return parse_contract_yaml(f.read(), name=args.contract_name)
+
+
+def cmd_validate(args) -> int:
+    spark = build_session(app_name=f"dce-validate-{args.run_id}")
+    t0 = time.time()
+    df = _load_input(spark, args)
+    contract = _load_contract(args)
+    baseline = (
+        spark.read.parquet(args.drift_baseline) if args.drift_baseline else None
+    )
+    engine = ContractEngine(spark, drift_baseline=baseline)
+    keys = args.key_columns.split(",") if args.key_columns else None
+
+    if args.checkpoint:
+        res = validate_resumable(
+            engine,
+            df,
+            contract,
+            CheckpointStore(spark, args.checkpoint),
+            run_id=args.run_id,
+            partition_col=args.partition_col,
+            key_columns=keys,
+        )
+        if res.run is None:
+            print(json.dumps({"run_id": args.run_id, "status": "ALREADY_DONE",
+                              "skipped_partitions": res.skipped}))
+            _stop(spark)
+            return 0
+        run = res.run
+    else:
+        run = engine.validate(df, contract, key_columns=keys)
+
+    rep = run.report()
+    if args.violations_out:
+        part_cols = [args.partition_col] if args.partition_col else None
+        sinks.write_violations(run.violations(), args.violations_out, part_cols)
+    if args.summary_out:
+        sinks.append_run_summary(
+            spark, args.summary_out, args.run_id, contract.name,
+            rep.total_records, rep.passed, rep.failed,
+            rep.quality.quality_score if rep.quality else None,
+            rep.execution_time_ms,
+        )
+    out = {
+        "run_id": args.run_id,
+        "contract": contract.name,
+        "total": rep.total_records,
+        "passed": rep.passed,
+        "failed": rep.failed,
+        "pass_rate": round(rep.pass_rate, 4),
+        "errors_summary": rep.errors_summary,
+        "quality": None
+        if rep.quality is None
+        else {
+            "passed": rep.quality.passed,
+            "score": rep.quality.quality_score,
+            "errors": [e.to_dict() for e in rep.quality.errors],
+        },
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    print(json.dumps(out))
+    _stop(spark)
+    # exit 0 on validation FAIL too — the verdict is data, not a crash
+    return 0
+
+
+def cmd_rollup(args) -> int:
+    spark = build_session(app_name="dce-rollup")
+    results = spark.read.parquet(args.results)
+    m = rollup_mod.with_quality_score(
+        rollup_mod.with_consistency(rollup_mod.daily_rollup(results))
+    )
+    m.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"days": m.count(),
+                      "summary": rollup_mod.platform_summary(m)}))
+    _stop(spark)
+    return 0
+
+
+def cmd_expire(args) -> int:
+    spark = build_session(app_name="dce-expire")
+    removed = sinks.expire_results(
+        spark, args.results, retention_days=args.retention_days
+    )
+    print(json.dumps({"removed": removed}))
+    _stop(spark)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data-contract-engine-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="validate a table against a contract")
+    v.add_argument("--input", required=True, help="path or catalog table")
+    v.add_argument("--format", default=None)
+    v.add_argument("--derive-transcripts", action="store_true",
+                   help="derive the transcripts relation from an events table")
+    v.add_argument("--contract", help="contract YAML path")
+    v.add_argument("--contract-name", default="contract")
+    v.add_argument("--contract-template", choices=["flagship"], default=None)
+    v.add_argument("--run-id", default="adhoc")
+    v.add_argument("--partition-col", default="conv_id")
+    v.add_argument("--key-columns", default=None, help="comma-separated")
+    v.add_argument("--checkpoint", default=None,
+                   help="checkpoint table path (enables resume)")
+    v.add_argument("--violations-out", default=None)
+    v.add_argument("--summary-out", default=None)
+    v.add_argument("--drift-baseline", default=None,
+                   help="parquet path of the baseline snapshot")
+    v.set_defaults(fn=cmd_validate)
+
+    r = sub.add_parser("rollup", help="daily metrics rollup")
+    r.add_argument("--results", required=True)
+    r.add_argument("--out", required=True)
+    r.set_defaults(fn=cmd_rollup)
+
+    e = sub.add_parser("expire", help="retention sweep on results")
+    e.add_argument("--results", required=True)
+    e.add_argument("--retention-days", type=int, default=90)
+    e.set_defaults(fn=cmd_expire)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "validate" and not (args.contract or args.contract_template):
+        print("error: provide --contract or --contract-template", file=sys.stderr)
+        return 2
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

