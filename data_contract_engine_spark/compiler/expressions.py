@@ -85,6 +85,13 @@ class CompiledContract:
     passed_col: Column
     declared_columns: List[str]
     options: CompileOptions = dc_field(default_factory=CompileOptions)
+    # Lean twin of the error array: [(field, error_type, bool Column)].
+    # The full error-struct tree is ~50x bigger (messages, format_string,
+    # truncation) and its higher-order functions don't codegen; counting /
+    # verdict jobs use these cheap predicates instead, and only the
+    # violations-artifact job pays for the full structs. None when the
+    # contract has nested array/object rules (counts then need the array).
+    predicates: Optional[List] = None
 
 
 def _mkerr(field, error_type: str, message, value, expected) -> Column:
@@ -660,6 +667,129 @@ def _field_errors(
     return _pack(checks)
 
 
+def _field_predicates(
+    name: str, fd: FieldDef, dtype: Optional[T.DataType], opts: CompileOptions
+) -> Optional[List]:
+    """[(field, error_type, condition)] for one top-level field — the lean
+    counting path. Must fire exactly when the corresponding error struct in
+    :func:`_field_errors` is non-null (pinned by the differential test).
+    Returns None when the field needs nested evaluation (array items /
+    object properties) — callers then fall back to the array path."""
+    if fd.type == "array" and fd.items is not None:
+        return None
+    if fd.type == "object" and fd.properties:
+        return None
+
+    out: List = []
+    if dtype is None:
+        if fd.required:
+            out.append((name, "REQUIRED_FIELD_MISSING", F.lit(True)))
+        return out
+
+    v = F.col(name)
+    if fd.required:
+        out.append((name, opts.null_error_type, v.isNull()))
+
+    stringly = isinstance(dtype, T.StringType) and fd.type not in (
+        "string",
+        "timestamp",
+        "date",
+    )
+    if not _type_conforms(fd.type, dtype) and not stringly:
+        out.append((name, "TYPE_MISMATCH", v.isNotNull()))
+        return out
+
+    if stringly:
+        target = {
+            "integer": "long",
+            "float": "double",
+            "boolean": "boolean",
+        }.get(fd.type)
+        if target is None:
+            out.append((name, "TYPE_MISMATCH", v.isNotNull()))
+            return out
+        typed = v.try_cast(target)
+        if fd.type == "integer":
+            typed = F.when(
+                v.try_cast("double").isNotNull()
+                & (
+                    v.try_cast("double")
+                    == v.try_cast("double").cast("long").cast("double")
+                ),
+                v.try_cast("double").cast("long"),
+            )
+        out.append((name, "TYPE_MISMATCH", v.isNotNull() & typed.isNull()))
+        ok = v.isNotNull() & typed.isNotNull()
+        if fd.type in ("integer", "float"):
+            if fd.min is not None:
+                out.append((name, "VALUE_TOO_SMALL", ok & (typed < F.lit(fd.min))))
+            if fd.max is not None:
+                out.append((name, "VALUE_TOO_LARGE", ok & (typed > F.lit(fd.max))))
+        return out
+
+    ok = v.isNotNull()
+    if fd.type == "string":
+        if fd.pattern:
+            out.append((name, "PATTERN_MISMATCH", ok & ~v.rlike(_anchor(fd.pattern))))
+        if fd.format:
+            out.append(
+                (
+                    name,
+                    "FORMAT_MISMATCH",
+                    ok & ~v.rlike("(?i)" + FORMAT_REGEXES[fd.format]),
+                )
+            )
+        if fd.min_length is not None:
+            out.append(
+                (name, "LENGTH_TOO_SHORT", ok & (F.length(v) < F.lit(fd.min_length)))
+            )
+        if fd.max_length is not None:
+            out.append(
+                (name, "LENGTH_TOO_LONG", ok & (F.length(v) > F.lit(fd.max_length)))
+            )
+        if fd.enum:
+            out.append((name, "ENUM_MISMATCH", ok & ~v.isin(*fd.enum)))
+    elif fd.type in ("integer", "float"):
+        if fd.min is not None:
+            out.append((name, "VALUE_TOO_SMALL", ok & (v < F.lit(fd.min))))
+        if fd.max is not None:
+            out.append((name, "VALUE_TOO_LARGE", ok & (v > F.lit(fd.max))))
+        if fd.enum:
+            out.append((name, "ENUM_MISMATCH", ok & ~v.isin(*fd.enum)))
+    elif fd.type == "timestamp":
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            parsed = v
+        elif isinstance(dtype, T.StringType):
+            parsed = v.try_cast("timestamp")
+            out.append((name, "INVALID_TIMESTAMP", ok & parsed.isNull()))
+        else:
+            parsed = F.timestamp_seconds(v.cast("double"))
+        bok = ok & parsed.isNotNull()
+        if fd.min:
+            out.append(
+                (
+                    name,
+                    "TIMESTAMP_TOO_OLD",
+                    bok & (parsed < F.lit(_parse_bound_ts(fd.min))),
+                )
+            )
+        if fd.max:
+            out.append(
+                (
+                    name,
+                    "TIMESTAMP_TOO_RECENT",
+                    bok & (parsed > F.lit(_parse_bound_ts(fd.max))),
+                )
+            )
+    elif fd.type == "array":
+        if fd.min is not None:
+            out.append((name, "ARRAY_TOO_SHORT", ok & (F.size(v) < F.lit(int(fd.min)))))
+        if fd.max is not None:
+            out.append((name, "ARRAY_TOO_LONG", ok & (F.size(v) > F.lit(int(fd.max)))))
+    # boolean / date: type check only (handled above)
+    return out
+
+
 def compile_contract(
     contract: Contract,
     df_schema: T.StructType,
@@ -691,6 +821,15 @@ def compile_contract(
     errors = F.slice(errors, 1, opts.max_errors)
     passed = F.size(errors) == 0
 
+    # lean predicate twin (None disables it if any field needs nesting)
+    predicates: Optional[List] = []
+    for name, fd in contract.fields:
+        ps = _field_predicates(name, fd, by_name.get(name), opts)
+        if ps is None:
+            predicates = None
+            break
+        predicates.extend(ps)
+
     declared = [n for n, _ in contract.fields if n in by_name]
     return CompiledContract(
         contract=contract,
@@ -698,4 +837,5 @@ def compile_contract(
         passed_col=passed,
         declared_columns=declared,
         options=opts,
+        predicates=predicates,
     )

@@ -63,6 +63,7 @@ class BatchReport:
     sample_errors: List[Dict[str, Any]]
     quality: Optional[QualityResult]
     execution_time_ms: float
+    total_violation_rows: int = 0
 
 
 @dataclass
@@ -75,14 +76,30 @@ class ValidationRun:
     df: DataFrame
     compiled: CompiledContract
     key_columns: List[str]
-    validated: DataFrame            # keys + errors + passed
+    validated: DataFrame            # source columns + passed (+ errors when
+    #                                 the contract needs nested evaluation)
     _report: Optional[BatchReport] = None
+
+    def _failed_with_errors(self) -> DataFrame:
+        """Failed rows with the full error-struct array.
+
+        When lean predicates exist, the cheap `passed` prefilter prunes
+        ~pass-rate of the rows BEFORE the expensive error-struct projection
+        runs, and the big expression tree only enters this plan — not the
+        counting/verdict jobs."""
+        ec = self.compiled.options.errors_column
+        if ec in self.validated.columns:
+            return self.validated.filter(~F.col("passed"))
+        return self.validated.filter(~F.col("passed")).select(
+            "*",
+            self.compiled.errors_col.alias(ec),
+        )
 
     def violations(self) -> DataFrame:
         """Exploded violation rows:
         (contract_id, key columns..., field, error_type, message, value,
         expected) — the distributed sink artifact."""
-        v = self.validated.filter(~F.col("passed")).select(
+        v = self._failed_with_errors().select(
             F.lit(self.contract.name).alias("contract_id"),
             *[F.col(k) for k in self.key_columns],
             F.explode("errors").alias("e"),
@@ -129,38 +146,30 @@ class ValidationRun:
         t0 = time.time()
         rules = self.contract.quality
 
-        # ---- drift prep: edges + baseline histogram (2 baseline jobs)
+        # ---- drift prep: a precomputed snapshot costs ZERO jobs here;
+        # a baseline DataFrame costs two (edges + histogram) — production
+        # should snapshot once at baseline creation (drift_op.baseline_snapshot)
         drift_exprs: Dict[str, str] = {}
         drift_edges: Dict[str, list] = {}
         base_bins: Dict[str, list] = {}
-        baseline = self.engine.drift_baseline
-        if rules.drift and baseline is not None:
+        if rules.drift:
             drift_exprs = {
                 col: spec.get("expr") or col
                 for col, spec in rules.drift.items()
             }
-            bins_by_col = {
-                col: spec.get("bins", 10) for col, spec in rules.drift.items()
-            }
-            # all columns' quantiles in one baseline agg
-            drift_edges = drift_op.multi_quantile_edges(
-                baseline, drift_exprs, bins=max(bins_by_col.values())
-            )
-            drift_edges = {c: e for c, e in drift_edges.items() if e}
-            if drift_edges:
-                base_row = (
-                    baseline.agg(
-                        *drift_op.multi_histogram_exprs(drift_edges, drift_exprs)
-                    )
-                    .collect()[0]
-                    .asDict()
+            snapshot = self.engine.drift_baseline_snapshot
+            if snapshot is None and self.engine.drift_baseline is not None:
+                bins = max(
+                    spec.get("bins", 10) for spec in rules.drift.values()
                 )
-                base_bins = {
-                    c: drift_op.decode_histogram_row(
-                        base_row, c, len(drift_edges[c]) + 1
-                    )
-                    for c in drift_edges
+                snapshot = drift_op.baseline_snapshot(
+                    self.engine.drift_baseline, drift_exprs, bins
+                )
+            if snapshot:
+                drift_edges = {
+                    c: s["edges"] for c, s in snapshot.items() if s.get("edges")
                 }
+                base_bins = {c: s["counts"] for c, s in snapshot.items()}
 
         # ---- pass 1: schema verdict counters + all fused quality aggs
         # error-type counts ride along too (the taxonomy is finite), so the
@@ -169,16 +178,39 @@ class ValidationRun:
         agg_exprs = [
             F.count(F.lit(1)).alias("__total"),
             F.sum(F.col("passed").cast("long")).alias("__passed"),
-        ] + [
-            F.sum(
-                F.size(
-                    F.filter(
-                        F.col(ec), lambda e: e["error_type"] == F.lit(et)
-                    )
-                ).cast("long")
-            ).alias(f"__errtype__{et}")
-            for et in SCHEMA_ERROR_TYPES
         ]
+        if self.compiled.predicates is not None:
+            # lean path: per-error-type counts from the boolean predicates
+            # (codegen'd sums; note these are uncapped true counts, whereas
+            # the array path observes the 10-errors/record cap)
+            by_type: Dict[str, List] = {}
+            for _f, et, cond in self.compiled.predicates:
+                by_type.setdefault(et, []).append(cond.cast("long"))
+            total_err = None
+            for et, conds in by_type.items():
+                s = conds[0]
+                for c in conds[1:]:
+                    s = s + c
+                agg_exprs.append(F.sum(s).alias(f"__errtype__{et}"))
+                total_err = s if total_err is None else total_err + s
+            agg_exprs.append(
+                F.sum(
+                    total_err if total_err is not None else F.lit(0)
+                ).alias("__total_errors")
+            )
+        else:
+            agg_exprs += [
+                F.sum(F.size(F.col(ec)).cast("long")).alias("__total_errors")
+            ] + [
+                F.sum(
+                    F.size(
+                        F.filter(
+                            F.col(ec), lambda e: e["error_type"] == F.lit(et)
+                        )
+                    ).cast("long")
+                ).alias(f"__errtype__{et}")
+                for et in SCHEMA_ERROR_TYPES
+            ]
         quality_exprs = build_quality_agg_exprs(self.df, rules)
         if drift_edges:
             quality_exprs += drift_op.multi_histogram_exprs(
@@ -204,10 +236,22 @@ class ValidationRun:
         }
         samples: List[Dict[str, Any]] = []
         if failed:
-            sample_rows = (
+            # limit BEFORE explode: orderBy+limit compiles to
+            # TakeOrderedAndProject (per-partition top-k, no global sort);
+            # each sampled record contributes <=5 errors (reference parity,
+            # validation_engine.py:103,137)
+            sample_src = (
                 self.validated.filter(~F.col("passed"))
                 .orderBy(*self.key_columns)
-                .select(F.explode(F.slice("errors", 1, 5)).alias("e"))
+                .limit(sample_errors)
+            )
+            if ec not in sample_src.columns:
+                # attach the error structs only for the <=50 sampled rows
+                sample_src = sample_src.select(
+                    "*", self.compiled.errors_col.alias(ec)
+                )
+            sample_rows = (
+                sample_src.select(F.explode(F.slice(ec, 1, 5)).alias("e"))
                 .limit(sample_errors)
                 .collect()
             )
@@ -236,6 +280,7 @@ class ValidationRun:
             sample_errors=samples,
             quality=quality,
             execution_time_ms=(time.time() - t0) * 1000.0,
+            total_violation_rows=agg_row.get("__total_errors") or 0,
         )
         return self._report
 
@@ -408,6 +453,7 @@ class ContractEngine:
         salted_aggregates: bool = False,
         vocab_tables: Optional[Dict[str, DataFrame]] = None,
         drift_baseline: Optional[DataFrame] = None,
+        drift_baseline_snapshot: Optional[Dict[str, Dict[str, list]]] = None,
         now_epoch: Optional[float] = None,
         compile_options: Optional[CompileOptions] = None,
     ):
@@ -415,6 +461,9 @@ class ContractEngine:
         self.salted_aggregates = salted_aggregates
         self.vocab_tables = vocab_tables or {}
         self.drift_baseline = drift_baseline
+        # {col: {"edges": [...], "counts": [...]}} from
+        # drift_op.baseline_snapshot — the zero-job production path
+        self.drift_baseline_snapshot = drift_baseline_snapshot
         self.now_epoch = now_epoch
         self.compile_options = compile_options or CompileOptions()
 
@@ -430,18 +479,33 @@ class ContractEngine:
         keys = list(key_columns) if key_columns else [
             c for c in df.columns[:2]
         ]
-        # two-layer projection: `passed` references the errors COLUMN, so
-        # the expensive error-array expression is evaluated once per row.
-        # (a single select would inline it twice — Catalyst's
-        # CollapseProject keeps these layers apart because the expression
-        # is non-cheap; measured 2.6x faster on the flagship contract.)
         ec = self.compile_options.errors_column
-        validated = df.select(
-            "*",
-            compiled.errors_col.alias(ec),
-        ).withColumn(
-            self.compile_options.passed_column, F.size(F.col(ec)) == 0
-        )
+        if compiled.predicates is not None:
+            # lean path: `passed` from the boolean predicate twin — tiny
+            # expression tree (fast planning per job, full codegen, no
+            # array allocation); the error-struct array is only attached in
+            # the violations/sample jobs (see _failed_with_errors)
+            from functools import reduce as _reduce
+
+            any_fail = _reduce(
+                lambda a, b: a | b,
+                [c for _, _, c in compiled.predicates],
+                F.lit(False),
+            )
+            validated = df.withColumn(
+                self.compile_options.passed_column,
+                ~F.coalesce(any_fail, F.lit(False)),
+            )
+        else:
+            # nested contracts: two-layer projection so the error-array
+            # expression is evaluated once per row (a single select would
+            # inline it twice; measured 2.6x slower)
+            validated = df.select(
+                "*",
+                compiled.errors_col.alias(ec),
+            ).withColumn(
+                self.compile_options.passed_column, F.size(F.col(ec)) == 0
+            )
         return ValidationRun(
             engine=self,
             contract=contract,

@@ -243,6 +243,28 @@ def score_histograms_pandas(
     }
 
 
+def baseline_snapshot(
+    df: DataFrame, exprs: dict, bins: int = 10
+) -> dict:
+    """Precompute the drift baseline: {name: {"edges": [...], "counts": [...]}}.
+
+    Run ONCE when the baseline is established (e.g. when a contract
+    version is activated) and persist the (tiny) result — per-run
+    validation then needs zero baseline scans. ``exprs``: {name: sql_expr}.
+    """
+    edges = {c: e for c, e in multi_quantile_edges(df, exprs, bins).items() if e}
+    if not edges:
+        return {}
+    row = df.agg(*multi_histogram_exprs(edges, exprs)).collect()[0].asDict()
+    return {
+        c: {
+            "edges": list(edges[c]),
+            "counts": decode_histogram_row(row, c, len(edges[c]) + 1),
+        }
+        for c in edges
+    }
+
+
 def psi_kl_exact(
     cur_counts: Sequence[float], base_counts: Sequence[float]
 ) -> tuple:

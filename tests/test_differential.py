@@ -134,3 +134,52 @@ def test_engine_matches_oracle_per_record(spark):
         if got != expect:
             mismatches.append((rec, expect, got))
     assert not mismatches, mismatches[:3]
+
+
+def test_lean_predicates_match_error_array(spark):
+    """The boolean predicate twin (counting path) must agree with the full
+    error-struct array (violations path) on every record: same passed
+    verdict and same per-error-type counts."""
+    flat = {
+        "contract_version": "1.0",
+        "schema": {
+            k: v for k, v in CONTRACT_DICT["schema"].items()
+            if k not in ("tags", "meta")
+        },
+    }
+    contract = contract_from_dict(flat, name="lean")
+    schema = T.StructType([f for f in SPARK_SCHEMA.fields
+                           if f.name not in ("tags", "meta")])
+    records = gen_records(300, seed=23)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in records], schema
+    )
+    compiled = compile_contract(contract, schema, CompileOptions())
+    assert compiled.predicates is not None
+    from functools import reduce
+
+    any_fail = reduce(lambda a, b: a | b,
+                      [c for _, _, c in compiled.predicates], F.lit(False))
+    both = df.select(
+        compiled.errors_col.alias("errors"),
+        (~F.coalesce(any_fail, F.lit(False))).alias("lean_passed"),
+        *[c.cast("int").alias(f"p_{i}")
+          for i, (_f, _t, c) in enumerate(compiled.predicates)],
+    ).collect()
+    for row in both:
+        assert (len(row["errors"]) == 0) == row["lean_passed"]
+        # error-type multiset equal
+        from collections import Counter
+
+        arr = Counter((e["field"], e["error_type"]) for e in row["errors"])
+        lean = Counter()
+        for i, (f, t, _c) in enumerate(compiled.predicates):
+            if row[f"p_{i}"]:
+                lean[(f, t)] += 1
+        assert arr == lean
+
+
+def test_nested_contract_disables_predicates(spark):
+    contract = contract_from_dict(CONTRACT_DICT, name="nested")
+    compiled = compile_contract(contract, SPARK_SCHEMA, CompileOptions())
+    assert compiled.predicates is None

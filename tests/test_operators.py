@@ -2,10 +2,14 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_contract_engine_spark.operators import referential as ref_op
 from data_contract_engine_spark.operators import uniqueness as uniq_op
+import pytest
+
 from data_contract_engine_spark.operators.drift import (
     histogram,
     psi_kl,
@@ -91,3 +95,55 @@ def test_psi_matches_exact_arithmetic(spark):
     score = psi_kl(cur, base, "x", bins=10)
     assert math.isclose(score.psi, exp_psi, rel_tol=1e-9)
     assert math.isclose(score.kl, exp_kl, rel_tol=1e-9)
+
+
+def test_baseline_snapshot_matches_dataframe_path(spark):
+    from data_contract_engine_spark.operators.drift import (
+        baseline_snapshot,
+        psi_kl,
+        score_histograms_pandas,
+    )
+
+    base = spark.range(0, 2000).selectExpr("cast(id % 50 as double) as x")
+    cur = spark.range(0, 2000).selectExpr("cast(id % 80 as double) as x")
+    snap = baseline_snapshot(base, {"x": "x"}, bins=10)
+    assert "x" in snap and len(snap["x"]["counts"]) == len(snap["x"]["edges"]) + 1
+    # score via the snapshot path equals the DataFrame path
+    from data_contract_engine_spark.operators.drift import (
+        bin_expr,
+        decode_histogram_row,
+        multi_histogram_exprs,
+    )
+
+    row = cur.agg(*multi_histogram_exprs({"x": snap["x"]["edges"]}, {"x": "x"})) \
+        .collect()[0].asDict()
+    cur_counts = decode_histogram_row(row, "x", len(snap["x"]["edges"]) + 1)
+    scores = score_histograms_pandas(
+        spark, {"x": (cur_counts, snap["x"]["counts"])}
+    )
+    df_score = psi_kl(cur, base, "x", bins=10)
+    assert scores["x"].psi == pytest.approx(df_score.psi, rel=1e-9)
+    assert scores["x"].kl == pytest.approx(df_score.kl, rel=1e-9)
+
+
+def test_engine_uses_snapshot_without_baseline_scans(spark):
+    from data_contract_engine_spark import ContractEngine, parse_contract_yaml
+    from data_contract_engine_spark.operators.drift import baseline_snapshot
+
+    yaml_text = """
+contract_version: "1.0"
+schema:
+  v: {type: float, required: true}
+quality_rules:
+  drift:
+    v: {metric: psi, threshold: 0.1, bins: 5}
+"""
+    contract = parse_contract_yaml(yaml_text, name="snap")
+    base = spark.range(0, 1000).selectExpr("cast(id % 10 as double) as v")
+    cur = spark.range(0, 1000).selectExpr("cast(id % 3 as double) as v")
+    snap = baseline_snapshot(base, {"v": "v"}, bins=5)
+    eng = ContractEngine(spark, drift_baseline_snapshot=snap)
+    rep = eng.validate(cur, contract, key_columns=["v"]).report()
+    assert rep.quality is not None
+    drift_errors = [e for e in rep.quality.errors if e.rule_type == "DRIFT"]
+    assert drift_errors and drift_errors[0].details["psi"] > 0.1
