@@ -167,3 +167,104 @@ def test_foreach_batch_runs_full_engine(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert seen == {"total": 2, "failed": 1}
+
+
+def test_stateful_conversation_progress(spark, tmp_path):
+    """applyInPandasWithState carries per-conversation state across
+    micro-batches: the second batch fills the gap left by the first and
+    re-delivers a duplicate turn (maxFilesPerTrigger=1 → each file is its
+    own micro-batch within one availableNow run)."""
+    import time as _time
+
+    src = tmp_path / "conv_in"
+    src.mkdir()
+    # batch 1 (older file): conv A turns 0,2 (gap at 1), conv B turn 0
+    spark.createDataFrame(
+        [("A", 0), ("A", 2), ("B", 0)], "conv_id string, turn_idx int"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)  # file-source orders by modification time
+    # batch 2 (newer): the missing turn arrives + a duplicate of B:0
+    spark.createDataFrame(
+        [("A", 1), ("B", 0)], "conv_id string, turn_idx int"
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    from data_contract_engine_spark.streaming.stateful import (
+        conversation_progress,
+    )
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        conversation_progress(stream)
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from conv_progress").collect()
+    by_conv = {}
+    for r in rows:  # update mode appends one snapshot per batch per key
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    # intermediate snapshot observed the gap
+    assert any(r["missing"] == 1 and not r["complete"]
+               for r in by_conv["A"])
+    # final state: gap filled across batches
+    assert any(r["missing"] == 0 and r["complete"] for r in by_conv["A"])
+    # duplicate delivery detected against state from an earlier batch
+    assert any(r["dup_turns"] == 1 and not r["complete"]
+               for r in by_conv["B"])
+
+
+def test_layout_bucketed_join_shuffle_free(spark, tmp_path):
+    """Tables bucketed on conv_id join without any Exchange node — the
+    write-time shuffle is reused at read time (Iceberg bucket() analog)."""
+    from data_contract_engine_spark.sources import layout
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.createDataFrame(
+            [(f"c{i}", i % 7, f"t{i}") for i in range(500)],
+            "conv_id string, turn_idx int, text string",
+        )
+        b = spark.createDataFrame(
+            [(f"c{i}", i % 3) for i in range(500)],
+            "conv_id string, label int",
+        )
+        layout.write_bucketed_table(a, "t_a", n_buckets=4)
+        layout.write_bucketed_table(b, "t_b", n_buckets=4, sort_col=None)
+        assert layout.bucketed_join_is_shuffle_free(spark, "t_a", "t_b", "conv_id")
+        # sanity: same join on unbucketed frames DOES shuffle
+        plain = a.join(b, "conv_id")
+        plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("drop table if exists t_a")
+        spark.sql("drop table if exists t_b")
+
+
+def test_layout_date_partition_pruning(spark, tmp_path):
+    import datetime as dtm
+
+    from data_contract_engine_spark.sources import layout
+
+    rows = [
+        ("a", dtm.datetime(2025, 5, 1, 10)),
+        ("b", dtm.datetime(2025, 5, 2, 10)),
+        ("c", dtm.datetime(2025, 5, 3, 10)),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    path = str(tmp_path / "bydate")
+    layout.write_date_partitioned(df, path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("__day") == "2025-05-02")
+    assert one_day.count() == 1
+    # partition filter reaches the scan (pruning, not post-filtering)
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2025-05-02" in plan
