@@ -311,6 +311,38 @@ def q_ann_lsh(spark, sf_dir):
     return out.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN: k-means inverted lists + probed exact rerank (rows-only:
+    list assignment depends on the KMeans fit)."""
+    e = _read(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    centroids, assigned = similarity.ivf_index(e, n_lists=8, seed=42)
+    out = similarity.ivf_topk(assigned, centroids, qv, k=10, n_probe=3)
+    return out.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+def q_dedup_keep(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("doc_id")
+
+
+def q_conv_text_checksum(spark, sf_dir):
+    """North-rule row invariant: per-conversation checksum of turn texts
+    under stable (conv_id, turn_idx) ordering — byte-level per-turn text
+    equality is what the oracle comparison certifies."""
+    tr = _transcripts(spark, sf_dir)
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: s["text"],
+    )
+    return tr.groupBy("conv_id").agg(
+        F.md5(F.concat_ws("\x1f", ordered_texts).cast("binary")).alias(
+            "text_checksum"
+        ),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
 # ---- text analysis ---------------------------------------------------------
 
 
@@ -391,6 +423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding,
         "knn_cosine_top10": q_knn_cosine,
         "ann_lsh_top10": q_ann_lsh,
+        "ivf_ann_top10": q_ivf_ann,
+        "dedup_exact_keep": q_dedup_keep,
+        "conv_text_checksum": q_conv_text_checksum,
         "text_quality_features": q_text_quality,
         "lang_id_confusion": q_lang_id,
         "token_stats_by_source": q_token_stats,
@@ -595,6 +630,18 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM documents
 """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_exact_keep": """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+        "conv_text_checksum": _T
+        + """
+SELECT conv_id,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx, text))
+         AS text_checksum,
+       count(*)::BIGINT AS n_turns
+FROM transcripts GROUP BY conv_id
+""",
         "dedup_embedding_cosine": f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round({_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cosine

@@ -134,21 +134,12 @@ class ValidationRun:
             )
         )
 
-    def report(self, sample_errors: int = 50) -> BatchReport:
-        """One fused agg pass computes schema counters + freshness +
-        completeness + statistics + literal-vocab referential + drift
-        current-histograms; only uniqueness (its own shuffle), table-backed
-        referential (broadcast anti-join) and the error summary add jobs.
-        Baseline drift edges/histograms cost two small jobs over the
-        baseline (in production: a persisted stats snapshot, zero jobs)."""
-        if self._report is not None:
-            return self._report
-        t0 = time.time()
+    def _drift_prep(self):
+        """(drift_exprs, drift_edges, base_bins): a precomputed snapshot
+        costs ZERO jobs; a baseline DataFrame costs two (edges + histogram)
+        — production snapshots once at baseline creation
+        (drift_op.baseline_snapshot)."""
         rules = self.contract.quality
-
-        # ---- drift prep: a precomputed snapshot costs ZERO jobs here;
-        # a baseline DataFrame costs two (edges + histogram) — production
-        # should snapshot once at baseline creation (drift_op.baseline_snapshot)
         drift_exprs: Dict[str, str] = {}
         drift_edges: Dict[str, list] = {}
         base_bins: Dict[str, list] = {}
@@ -170,10 +161,13 @@ class ValidationRun:
                     c: s["edges"] for c, s in snapshot.items() if s.get("edges")
                 }
                 base_bins = {c: s["counts"] for c, s in snapshot.items()}
+        return drift_exprs, drift_edges, base_bins
 
-        # ---- pass 1: schema verdict counters + all fused quality aggs
-        # error-type counts ride along too (the taxonomy is finite), so the
-        # batch error summary needs no second scan.
+    def _agg_exprs(self, drift_exprs, drift_edges) -> List:
+        """All fused-pass aggregate expressions: verdict counters +
+        error-type counts (finite taxonomy — the batch error summary needs
+        no second scan) + quality aggs + drift current-histograms."""
+        rules = self.contract.quality
         ec = self.compiled.options.errors_column
         agg_exprs = [
             F.count(F.lit(1)).alias("__total"),
@@ -216,12 +210,69 @@ class ValidationRun:
             quality_exprs += drift_op.multi_histogram_exprs(
                 drift_edges, drift_exprs
             )
-        # run over the validated frame (it carries the source columns)
-        agg_row = self.validated.agg(
-            *agg_exprs,
-            *[e for e in quality_exprs],
-        ).collect()[0].asDict()
+        return agg_exprs + quality_exprs
 
+    def report(self, sample_errors: int = 50) -> BatchReport:
+        """One fused agg pass computes schema counters + error-type counts
+        + freshness + completeness + statistics + literal-vocab referential
+        + drift current-histograms; only uniqueness (its own shuffle),
+        table-backed referential (broadcast anti-join) and the gated sample
+        job add scans. See :meth:`execute` for the zero-extra-scan variant
+        that also writes the violations artifact."""
+        if self._report is not None:
+            return self._report
+        t0 = time.time()
+        drift_exprs, drift_edges, base_bins = self._drift_prep()
+        exprs = self._agg_exprs(drift_exprs, drift_edges)
+        # run over the validated frame (it carries the source columns)
+        agg_row = self.validated.agg(*exprs).collect()[0].asDict()
+        self._report = self._finish_report(
+            agg_row, drift_edges, base_bins, t0, sample_errors
+        )
+        return self._report
+
+    def execute(
+        self,
+        violations_path: str,
+        partition_cols: Optional[Sequence[str]] = None,
+        sample_errors: int = 0,
+    ) -> BatchReport:
+        """ONE-action execution for the 100 TB shape: the violations
+        artifact is written while the SAME scan's aggregates are collected
+        via ``DataFrame.observe`` — no separate aggregate pass over the
+        input. Remaining extra jobs: uniqueness (needs its own shuffle) and
+        drift scoring (tiny histogram relation)."""
+        from pyspark.sql import Observation
+
+        t0 = time.time()
+        drift_exprs, drift_edges, base_bins = self._drift_prep()
+        exprs = self._agg_exprs(drift_exprs, drift_edges)
+        obs = Observation(f"contract:{self.contract.name}")
+        observed = self.validated.observe(obs, *exprs)
+        run_like = ValidationRun(
+            engine=self.engine,
+            contract=self.contract,
+            df=self.df,
+            compiled=self.compiled,
+            key_columns=self.key_columns,
+            validated=observed,
+        )
+        from .sources import sinks as _sinks  # local import avoids cycle
+
+        _sinks.write_violations(
+            run_like.violations(), violations_path, partition_cols
+        )
+        agg_row = dict(obs.get)
+        self._report = self._finish_report(
+            agg_row, drift_edges, base_bins, t0, sample_errors
+        )
+        return self._report
+
+    def _finish_report(
+        self, agg_row, drift_edges, base_bins, t0, sample_errors
+    ) -> BatchReport:
+        rules = self.contract.quality
+        ec = self.compiled.options.errors_column
         total = agg_row["__total"]
         passed = agg_row["__passed"] or 0
         failed = total - passed
@@ -235,7 +286,7 @@ class ValidationRun:
             if agg_row.get(f"__errtype__{et}")
         }
         samples: List[Dict[str, Any]] = []
-        if failed:
+        if failed and sample_errors > 0:
             # limit BEFORE explode: orderBy+limit compiles to
             # TakeOrderedAndProject (per-partition top-k, no global sort);
             # each sampled record contributes <=5 errors (reference parity,
@@ -264,13 +315,24 @@ class ValidationRun:
             qerrors += self._uniqueness_errors()
             qerrors += self._referential_table_errors()
             qerrors += self._drift_errors_fused(agg_row, drift_edges, base_bins)
+            # reference rule order (quality_validator.py:63-75): freshness →
+            # completeness → uniqueness → statistics; extensions follow
+            order = {
+                "FRESHNESS": 0,
+                "COMPLETENESS": 1,
+                "UNIQUENESS": 2,
+                "STATISTICS": 3,
+                "REFERENTIAL": 4,
+                "DRIFT": 5,
+            }
+            qerrors.sort(key=lambda e: order.get(e.rule_type, 9))
             score = quality_score(qerrors)
             qpassed = not any(e.severity == SEVERITY_ERROR for e in qerrors)
             quality = QualityResult(
                 passed=qpassed, errors=qerrors, quality_score=score
             )
 
-        self._report = BatchReport(
+        return BatchReport(
             batch_id=str(uuid.uuid4()),
             total_records=total,
             passed=passed,
@@ -282,7 +344,6 @@ class ValidationRun:
             execution_time_ms=(time.time() - t0) * 1000.0,
             total_violation_rows=agg_row.get("__total_errors") or 0,
         )
-        return self._report
 
     # -- quality sub-operators -------------------------------------------
 

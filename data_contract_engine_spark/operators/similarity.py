@@ -161,6 +161,67 @@ def ann_lsh_topk(
     return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
 
 
+def ivf_index(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids + per-vector list
+    assignment (the classic inverted-file ANN layout).
+
+    Build ONCE per table (like the hyperplane buckets, the ``list_id``
+    column would be persisted — e.g. as an Iceberg partition/bucket — so
+    queries prune to probed lists at the scan). Returns
+    (centroids: List[List[float]], assigned: DataFrame + list_id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb_df.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features",
+                predictionCol="list_id")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "list_id")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: List[List[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query against an IVF index: rank centroids driver-side (tiny),
+    scan only the ``n_probe`` nearest lists, exact cosine rerank inside.
+
+    With list_id as a partition column the probe filter becomes partition
+    pruning — each query touches ~n_probe/n_lists of the data."""
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1e-12
+        nb = math.sqrt(sum(x * x for x in b)) or 1e-12
+        return num / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )
+    probe = ranked[:n_probe]
+    q = _lit_vec(query_vec)
+    cand = assigned.filter(F.col("list_id").isin(probe))
+    scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("sim"))
+    return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+
+
 def cosine_topk_pandas(
     emb_df: DataFrame,
     query_vec: Sequence[float],

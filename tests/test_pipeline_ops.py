@@ -174,3 +174,30 @@ def test_frame_sampling(spark, docs):
     ).collect()
     expect = sum(math.ceil(v["d"] / 1000) if v["d"] > 0 else 1 for v in vids)
     assert frames.count() == expect
+
+
+def test_ivf_ann_recovers_neighbors(spark):
+    """IVF (k-means inverted lists + probed exact rerank) finds the true
+    nearest neighbors on clustered data."""
+    import random
+
+    rnd = random.Random(3)
+    centers = [[5.0 * (i % 3), 5.0 * (i // 3), 0.0, 0.0] for i in range(6)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 6]
+        rows.append(
+            (i, [c[j] + rnd.gauss(0, 0.3) for j in range(4)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids, assigned = similarity.ivf_index(emb, n_lists=6, seed=1)
+    assert len(centroids) == 6
+    q = rows[10][1]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(assigned, centroids, q, k=5, n_probe=2
+                                     ).collect()
+    ]
+    # probing the 2 nearest lists recovers the exact top-5
+    assert approx == exact

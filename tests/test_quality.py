@@ -161,3 +161,47 @@ def test_empty_input_pass_rate_zero(spark):
     rep = _run(spark, [], {})
     assert rep.total_records == 0
     assert rep.pass_rate == 0.0
+
+
+def test_execute_single_action_writes_and_reports(spark, tmp_path):
+    """execute(): violations written while the same scan's aggregates are
+    observed — report equals the two-pass report()."""
+    from data_contract_engine_spark import ContractEngine, parse_contract_yaml
+
+    yaml_text = """
+contract_version: "1.0"
+schema:
+  k: {type: string, required: true, pattern: "^k_\\\\d+$"}
+  v: {type: integer, required: true, min: 0}
+quality_rules:
+  completeness: {min_row_count: 1, max_null_percentage: 50}
+  statistics:
+    v: {mean: {min: -1000, max: 1000}}
+  referential:
+    k: {values: [k_0, k_1, k_2, k_3, k_4, bad]}
+"""
+    contract = parse_contract_yaml(yaml_text, name="exec")
+    rows = [(f"k_{i}", i) for i in range(5)] + [("bad", -1), ("k_9", None)]
+    df = spark.createDataFrame(rows, "k string, v int")
+    eng = ContractEngine(spark)
+
+    run1 = eng.validate(df, contract, key_columns=["k"])
+    rep1 = run1.report()
+
+    run2 = eng.validate(df, contract, key_columns=["k"])
+    out = str(tmp_path / "viol")
+    rep2 = run2.execute(out)
+
+    assert rep2.total_records == rep1.total_records == 7
+    assert rep2.failed == rep1.failed == 2
+    assert rep2.errors_summary == rep1.errors_summary
+    assert rep2.total_violation_rows == rep1.total_violation_rows
+    assert (rep2.quality is None) == (rep1.quality is None)
+    if rep1.quality:
+        assert rep2.quality.quality_score == rep1.quality.quality_score
+        assert [e.rule_type for e in rep2.quality.errors] == [
+            e.rule_type for e in rep1.quality.errors
+        ]
+    written = spark.read.parquet(out)
+    assert written.count() == rep1.total_violation_rows
+    assert set(written.columns) >= {"contract_id", "k", "field", "error_type"}
