@@ -201,3 +201,26 @@ def test_ivf_ann_recovers_neighbors(spark):
     ]
     # probing the 2 nearest lists recovers the exact top-5
     assert approx == exact
+
+
+def test_custom_validator_arrow_batched(spark):
+    from data_contract_engine_spark.operators.custom import (
+        run_custom_validators,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, -5.0), ("c", 3, 2.5)],
+        "k string, n int, v double",
+    )
+    viol = run_custom_validators(
+        df,
+        {
+            "v_nonneg": lambda pdf: pdf["v"] >= 0,
+            "n_odd": lambda pdf: pdf["n"] % 2 == 1,
+        },
+        key_columns=["k"],
+        contract_id="c1",
+    ).collect()
+    got = {(r["k"], r["field"]) for r in viol}
+    assert got == {("b", "v_nonneg"), ("b", "n_odd")}
+    assert all(r["error_type"] == "CUSTOM_VALIDATOR_FAILED" for r in viol)
