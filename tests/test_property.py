@@ -1,0 +1,161 @@
+"""Property-based differential testing (hypothesis): random flat contracts
+x random record batches — the vectorized engine must equal the
+row-at-a-time reference-semantics oracle on every record, and the lean
+predicate path must agree with the error-array path.
+
+The reference has no property-based tests (SURVEY.md §5); this closes the
+gap where example-based tests can't: interactions of optional/required x
+null x boundary values across arbitrary rule combinations.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F, types as T
+
+from data_contract_engine_spark import (
+    CompileOptions,
+    compile_contract,
+    contract_from_dict,
+)
+
+from oracle_ref import validate_record
+
+# -- strategies -------------------------------------------------------------
+
+_field_names = ("f1", "f2", "f3", "f4")
+
+
+@st.composite
+def string_spec(draw):
+    spec = {"type": "string", "required": draw(st.booleans())}
+    if draw(st.booleans()):
+        spec["pattern"] = draw(st.sampled_from([r"^a+$", r"^[0-9]{2}$", r"x"]))
+    if draw(st.booleans()):
+        spec["min_length"] = draw(st.integers(0, 3))
+    if draw(st.booleans()):
+        spec["max_length"] = draw(st.integers(3, 6))
+    if draw(st.booleans()):
+        spec["enum"] = draw(
+            st.sampled_from([["aa", "bb"], ["aa", "12", "xx"], ["zz"]])
+        )
+    return spec
+
+
+@st.composite
+def int_spec(draw):
+    spec = {"type": "integer", "required": draw(st.booleans())}
+    if draw(st.booleans()):
+        spec["min"] = draw(st.integers(-5, 5))
+    if draw(st.booleans()):
+        spec["max"] = draw(st.integers(5, 15))
+    return spec
+
+
+@st.composite
+def float_spec(draw):
+    spec = {"type": "float", "required": draw(st.booleans())}
+    if draw(st.booleans()):
+        spec["min"] = draw(st.sampled_from([-1.5, 0.0, 2.5]))
+    if draw(st.booleans()):
+        spec["max"] = draw(st.sampled_from([3.0, 10.5]))
+    return spec
+
+
+@st.composite
+def ts_spec(draw):
+    spec = {"type": "timestamp", "required": draw(st.booleans())}
+    if draw(st.booleans()):
+        spec["min"] = "2020-01-01"
+    if draw(st.booleans()):
+        spec["max"] = "2030-01-01"
+    return spec
+
+
+_SPEC = {
+    "f1": string_spec(),
+    "f2": int_spec(),
+    "f3": float_spec(),
+    "f4": ts_spec(),
+}
+
+_VALUES = {
+    "f1": st.sampled_from(
+        [None, "", "a", "aaa", "12", "aa", "bb", "xx", "longer-value", "x"]
+    ),
+    "f2": st.sampled_from([None, -10, -5, 0, 5, 10, 15, 20]),
+    "f3": st.sampled_from([None, -2.0, 0.0, 2.5, 3.0, 10.5, 99.9]),
+    "f4": st.sampled_from(
+        [
+            None,
+            "2019-06-01T00:00:00",
+            "2025-01-01T12:00:00",
+            "2031-01-01T00:00:00",
+            "garbage",
+        ]
+    ),
+}
+
+_SPARK_TYPES = {
+    "f1": T.StringType(),
+    "f2": T.LongType(),
+    "f3": T.DoubleType(),
+    "f4": T.StringType(),  # ISO-string timestamps (the parse path)
+}
+
+contracts = st.fixed_dictionaries({n: _SPEC[n] for n in _field_names})
+records = st.lists(
+    st.fixed_dictionaries({n: _VALUES[n] for n in _field_names}),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(schema=contracts, recs=records)
+def test_engine_equals_oracle_on_random_contracts(spark, schema, recs):
+    # hypothesis may generate min>max etc. — the parser rejects those;
+    # skip structurally invalid draws (parser behavior tested elsewhere)
+    from data_contract_engine_spark.contracts.model import ContractError
+
+    try:
+        contract = contract_from_dict(
+            {"contract_version": "1.0", "schema": schema}, name="prop"
+        )
+    except ContractError:
+        return
+
+    spark_schema = T.StructType(
+        [T.StructField(n, _SPARK_TYPES[n]) for n in _field_names]
+    )
+    df = spark.createDataFrame(
+        [tuple(r[n] for n in _field_names) for r in recs], spark_schema
+    ).withColumn("__row", F.monotonically_increasing_id())
+    compiled = compile_contract(contract, spark_schema, CompileOptions())
+
+    select_cols = ["__row", compiled.errors_col.alias("errors")]
+    if compiled.predicates is not None:
+        from functools import reduce
+
+        any_fail = reduce(
+            lambda a, b: a | b,
+            [c for _, _, c in compiled.predicates],
+            F.lit(False),
+        )
+        select_cols.append(
+            (~F.coalesce(any_fail, F.lit(False))).alias("lean_passed")
+        )
+    rows = df.select(*select_cols).orderBy("__row").collect()
+
+    for rec, row in zip(recs, rows):
+        expect = validate_record(rec, contract)
+        got = [(e["field"], e["error_type"]) for e in row["errors"]]
+        assert got == expect, (schema, rec, expect, got)
+        if compiled.predicates is not None:
+            assert row["lean_passed"] == (len(expect) == 0), (schema, rec)
