@@ -157,6 +157,18 @@ def results_relation(run, contract_id: str, validated_at=None) -> DataFrame:
     consumed by the rollups (per-record rows; the 10^12-scale deployment
     would persist per-partition verdicts instead and roll those up)."""
     v = run.validated
+    if "errors" not in v.columns:
+        # lean-predicate mode: attach error structs, computed only for
+        # failing rows (the when-guard keeps passing rows at the empty
+        # array without evaluating the big expression)
+        from ..compiler.expressions import ERROR_ARRAY_DDL
+
+        v = v.withColumn(
+            "errors",
+            F.when(
+                F.col("passed"), F.array().cast(ERROR_ARRAY_DDL)
+            ).otherwise(run.compiled.errors_col),
+        )
     ts = F.col("ts") if "ts" in v.columns else F.current_timestamp()
     if validated_at is not None:
         ts = F.lit(validated_at)
