@@ -155,6 +155,9 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+_MH_PRIME = (1 << 31) - 1  # Mersenne prime field for the hash family
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -164,16 +167,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]) MinHash signatures.
 
-    One shingle explode + ONE hash-aggregate: all `num_hashes` mins are
-    computed in the same groupBy (partial agg map-side), so signature width
-    costs no extra shuffles.
+    One shingle explode + ONE hash-aggregate: all ``num_hashes`` mins are
+    computed in the same groupBy (partial agg map-side), so signature
+    width costs no extra shuffles. The hash family is Carter–Wegman
+    ``(h1 + i·h2) mod p`` derived from TWO xxhash64 evaluations per
+    shingle instead of ``num_hashes`` — constants stay < 2^31 so the
+    arithmetic never overflows (ANSI-safe) while i·h2 spans the field.
     """
     sh = shingle_table(df, id_col, text_col, k)
+    h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
+    h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(_MH_PRIME - 1)) + 1
+    hashed = sh.select("id", h1.alias("__h1"), h2.alias("__h2"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__mh{i}")
+        F.min(
+            F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), F.lit(_MH_PRIME))
+        ).alias(f"__mh{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select(
         "id", F.array(*[F.col(f"__mh{i}") for i in range(num_hashes)]).alias("sig")
     )
