@@ -119,12 +119,20 @@ def validate_resumable(
     key_columns: Optional[Sequence[str]] = None,
     ts_col: Optional[str] = "ts",
     all_partitions: Optional[Sequence[str]] = None,
+    violations_out: Optional[str] = None,
 ) -> ResumableResult:
     """Validate only partitions not yet checkpointed for (run_id, lineage).
 
     ``all_partitions``: pass the partition list when it is known from
     table metadata (Iceberg partition listing) to avoid the discovery
     scan; otherwise one distinct-scan computes it.
+
+    ``violations_out``: when set, violation rows are written (partitioned
+    by ``partition_col``, dynamic overwrite) BEFORE the checkpoint rows
+    flip to DONE — a crash between the two re-validates those partitions
+    on resume (idempotent overwrite) instead of leaving checkpointed
+    partitions with missing violations. With Iceberg both writes join one
+    transaction.
     """
     lin = lineage_hash(contract)
     if all_partitions is None:
@@ -142,6 +150,13 @@ def validate_resumable(
     # predicate on the partition column → partition pruning at the scan
     sub = df.filter(F.col(partition_col).cast("string").isin(pending))
     run = engine.validate(sub, contract, key_columns=key_columns)
+
+    if violations_out:
+        from .sources import sinks
+
+        viol = run.violations()
+        part_cols = [partition_col] if partition_col in viol.columns else None
+        sinks.write_violations(viol, violations_out, part_cols)
 
     agg_cols = [
         F.count(F.lit(1)).alias("total"),

@@ -72,6 +72,8 @@ def cmd_validate(args) -> int:
     keys = args.key_columns.split(",") if args.key_columns else None
 
     if args.checkpoint:
+        # violations write happens INSIDE the resumable protocol (before
+        # the checkpoint flips) for crash-safe resume ordering
         res = validate_resumable(
             engine,
             df,
@@ -80,6 +82,7 @@ def cmd_validate(args) -> int:
             run_id=args.run_id,
             partition_col=args.partition_col,
             key_columns=keys,
+            violations_out=args.violations_out,
         )
         if res.run is None:
             print(json.dumps({"run_id": args.run_id, "status": "ALREADY_DONE",
@@ -91,7 +94,9 @@ def cmd_validate(args) -> int:
         run = engine.validate(df, contract, key_columns=keys)
 
     rep = run.report()
-    if args.violations_out:
+    if args.violations_out and not args.checkpoint:
+        # non-resumable path: plain write (resumable runs already wrote
+        # them inside validate_resumable, before the checkpoint flip)
         part_cols = [args.partition_col] if args.partition_col else None
         sinks.write_violations(run.violations(), args.violations_out, part_cols)
     if args.summary_out:

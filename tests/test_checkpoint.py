@@ -80,3 +80,35 @@ def test_lineage_change_invalidates(spark, data, tmp_path):
         eng, data, c2, store, run_id="r1", partition_col="conv_id", ts_col=None
     )
     assert r.skipped == 0 and r.validated_now == 4
+
+
+def test_resumable_violations_written_before_checkpoint(spark, data, tmp_path):
+    """Crash-safety ordering: violations land (partitioned, idempotent
+    overwrite) before the checkpoint flips; resume does not clobber
+    prior partitions' violations."""
+    from pyspark.sql import functions as F
+
+    eng = ContractEngine(spark)
+    contract = parse_contract_yaml(CONTRACT, name="ckpt-v")
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    vout = str(tmp_path / "viol")
+
+    half = data.filter(F.col("conv_id").isin("conv_2", "conv_3"))
+    validate_resumable(
+        eng, half, contract, store, run_id="r", partition_col="conv_id",
+        key_columns=["conv_id", "turn_idx"], ts_col=None,
+        violations_out=vout,
+    )
+    v1 = spark.read.parquet(vout)
+    assert v1.count() == 1  # the turn_idx=-1 row lives in conv_3
+    assert "conv_id" in v1.columns
+
+    # resume over the full input: only new partitions written, old kept
+    validate_resumable(
+        eng, data, contract, store, run_id="r", partition_col="conv_id",
+        key_columns=["conv_id", "turn_idx"], ts_col=None,
+        violations_out=vout,
+    )
+    v2 = spark.read.parquet(vout)
+    assert v2.count() == 1  # conv_0/conv_1 clean; conv_3's row preserved
+    assert {r["conv_id"] for r in v2.collect()} == {"conv_3"}
