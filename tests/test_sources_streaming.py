@@ -268,3 +268,38 @@ def test_layout_date_partition_pruning(spark, tmp_path):
     # partition filter reaches the scan (pruning, not post-filtering)
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2025-05-02" in plan
+
+
+def test_merge_upsert(spark, tmp_path):
+    from data_contract_engine_spark.sources.sinks import merge_upsert
+
+    path = str(tmp_path / "metrics")
+    day1 = spark.createDataFrame(
+        [("c1", "2025-05-01", 10), ("c1", "2025-05-02", 5)],
+        "contract_id string, day string, total int",
+    )
+    merge_upsert(spark, path, day1, ["contract_id", "day"])
+    # re-aggregate day 2 with corrected numbers + add day 3
+    day2 = spark.createDataFrame(
+        [("c1", "2025-05-02", 7), ("c1", "2025-05-03", 3)],
+        "contract_id string, day string, total int",
+    )
+    merge_upsert(spark, path, day2, ["contract_id", "day"])
+    got = {r["day"]: r["total"] for r in spark.read.parquet(path).collect()}
+    assert got == {"2025-05-01": 10, "2025-05-02": 7, "2025-05-03": 3}
+
+
+def test_quarantine_sink(spark, tmp_path):
+    from data_contract_engine_spark.sources.sinks import write_quarantine
+
+    df = spark.createDataFrame(
+        [("usr_1", 10), ("bad", 20)], "user_id string, age int"
+    )
+    run = ContractEngine(spark).validate(
+        df, parse_contract_yaml(CONTRACT, name="q"), key_columns=["user_id"]
+    )
+    path = str(tmp_path / "quarantine")
+    write_quarantine(run, path)
+    q = spark.read.parquet(path).collect()
+    assert len(q) == 1 and q[0]["user_id"] == "bad"
+    assert q[0]["errors"][0]["error_type"] == "PATTERN_MISMATCH"
