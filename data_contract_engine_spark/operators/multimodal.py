@@ -139,6 +139,47 @@ def extract_features(
     )
 
 
+def resize_images(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    resizer: Optional[Callable[[bytes, int, int], bytes]] = None,
+) -> DataFrame:
+    """Resize plumbing for image payloads: Arrow-batched mapInPandas,
+    output schema (media_id, payload: binary, meta with new dims).
+
+    The pixel transform is STUBBED (no image libs here): the default
+    "resizer" is a deterministic fake that re-hashes the payload to a
+    width*height-proportional byte budget, keeping batch shapes, schema
+    and partitioning real. Inject a PIL/opencv-backed ``resizer`` in a
+    real deployment.
+    """
+    fn = resizer or (
+        lambda p, w, h: (p * ((w * h) // max(len(p), 1) + 1))[: max(w * h // 64, 1)]
+    )
+    imgs = df.filter(F.col("kind") == "image").select(
+        "media_id", "mime", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        fn(bytes(p), width, height) for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+            yield out
+
+    return imgs.mapInPandas(
+        run, schema="media_id long, payload binary, width int, height int"
+    )
+
+
 def sample_frames(
     df: DataFrame,
     every_ms: int = 1000,

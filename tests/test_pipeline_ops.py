@@ -224,3 +224,17 @@ def test_custom_validator_arrow_batched(spark):
     got = {(r["k"], r["field"]) for r in viol}
     assert got == {("b", "v_nonneg"), ("b", "n_odd")}
     assert all(r["error_type"] == "CUSTOM_VALIDATOR_FAILED" for r in viol)
+
+
+def test_resize_plumbing(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.resize_images(media, width=64, height=64).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    for r in out:
+        assert r["width"] == 64 and r["height"] == 64
+        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) > 0
+    # deterministic: same payload → same resized bytes
+    again = multimodal.resize_images(media, width=64, height=64).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
+           {r["media_id"]: bytes(r["payload"]) for r in again}
