@@ -85,6 +85,44 @@ def windowed_verdicts(
     )
 
 
+def drift_monitor(
+    snapshot: dict,
+    exprs: dict,
+    on_scores: Callable[[int, dict], None],
+) -> Callable[[DataFrame, int], None]:
+    """Streaming drift: per-micro-batch PSI/KL vs a precomputed baseline
+    snapshot ({col: {edges, counts}} from ``drift.baseline_snapshot``).
+
+    Each batch costs one fused histogram agg over the batch plus the tiny
+    Arrow-scored histogram relation — the streaming analog of the batch
+    drift stage, with the baseline fixed at snapshot time (re-snapshot to
+    move the reference window)."""
+    from ..operators import drift as drift_op
+
+    edges = {c: s["edges"] for c, s in snapshot.items() if s.get("edges")}
+    base = {c: s["counts"] for c, s in snapshot.items()}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not edges or not batch_df.take(1):
+            return
+        row = (
+            batch_df.agg(*drift_op.multi_histogram_exprs(edges, exprs))
+            .collect()[0]
+            .asDict()
+        )
+        per_col = {
+            c: (
+                drift_op.decode_histogram_row(row, c, len(edges[c]) + 1),
+                base[c],
+            )
+            for c in edges
+        }
+        spark = batch_df.sparkSession
+        on_scores(batch_id, drift_op.score_histograms_pandas(spark, per_col))
+
+    return handle
+
+
 def foreach_batch_validator(
     engine,
     contract: Contract,

@@ -205,3 +205,50 @@ quality_rules:
     written = spark.read.parquet(out)
     assert written.count() == rep1.total_violation_rows
     assert set(written.columns) >= {"contract_id", "k", "field", "error_type"}
+
+
+def test_empty_input_parity(spark):
+    """Reference parity for empty batches: pass_rate 0.0, no quality stage
+    (gated on passed > 0), empty summary (validation_engine.py:122)."""
+    from data_contract_engine_spark import ContractEngine, parse_contract_yaml
+
+    contract = parse_contract_yaml(
+        """
+contract_version: "1.0"
+schema:
+  k: {type: string, required: true}
+quality_rules:
+  completeness: {min_row_count: 1}
+""",
+        name="empty",
+    )
+    df = spark.createDataFrame([], "k string")
+    rep = ContractEngine(spark).validate(df, contract, key_columns=["k"]).report()
+    assert rep.total_records == 0 and rep.passed == 0 and rep.failed == 0
+    assert rep.pass_rate == 0.0
+    assert rep.errors_summary == {} and rep.sample_errors == []
+    assert rep.quality is None  # gated: no record passed schema
+
+
+def test_missing_column_contract(spark):
+    """A declared column absent from the DataFrame: required → every row
+    fails with REQUIRED_FIELD_MISSING; optional → ignored."""
+    from data_contract_engine_spark import ContractEngine, parse_contract_yaml
+
+    contract = parse_contract_yaml(
+        """
+contract_version: "1.0"
+schema:
+  k: {type: string, required: true}
+  ghost: {type: string, required: true}
+  maybe: {type: integer, required: false}
+""",
+        name="missing",
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    run = ContractEngine(spark).validate(df, contract, key_columns=["k"])
+    rep = run.report()
+    assert rep.failed == 2
+    assert rep.errors_summary == {"REQUIRED_FIELD_MISSING": 2}
+    viol = run.violations().collect()
+    assert all(r["field"] == "ghost" for r in viol)

@@ -303,3 +303,43 @@ def test_quarantine_sink(spark, tmp_path):
     q = spark.read.parquet(path).collect()
     assert len(q) == 1 and q[0]["user_id"] == "bad"
     assert q[0]["errors"][0]["error_type"] == "PATTERN_MISMATCH"
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-micro-batch PSI vs a baseline snapshot: an in-distribution
+    batch scores low, a shifted batch scores high."""
+    import time as _time
+
+    from data_contract_engine_spark.operators.drift import baseline_snapshot
+    from data_contract_engine_spark.streaming.validate import drift_monitor
+
+    base = spark.range(0, 5000).selectExpr("cast(id % 100 as double) as v")
+    snap = baseline_snapshot(base, {"v": "v"}, bins=10)
+
+    src = tmp_path / "drift_in"
+    src.mkdir()
+    # batch 1: same distribution; batch 2: concentrated (shifted)
+    spark.range(0, 2000).selectExpr("cast(id % 100 as double) as v") \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    spark.range(0, 2000).selectExpr("cast(id % 5 as double) as v") \
+        .coalesce(1).write.parquet(str(src / "b2"))
+
+    scores = {}
+    handler = drift_monitor(
+        snap, {"v": "v"},
+        lambda bid, s: scores.update({bid: s["v"].psi}),
+    )
+    q = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .writeStream.foreachBatch(handler)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(scores) == 2
+    low, high = scores[0], scores[1]
+    assert low < 0.05 and high > 0.5
