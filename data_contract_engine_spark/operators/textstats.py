@@ -148,6 +148,65 @@ def lang_id(
     )
 
 
+# Distinctive character bigrams per language (hand-picked from public
+# letter-frequency tables) — the n-gram half of the language-ID heuristic.
+CHAR_BIGRAMS: Dict[str, Sequence[str]] = {
+    "en": ("th", "he", "ng", "wh", "gh", "ck", "sh", "ould"),
+    "es": ("ción", "ñ", "ll", "rr", "qué", "los", "ado", "ar "),
+    "de": ("sch", "ch", "ei", "ü", "ö", "ä", "ung", "ich"),
+    "fr": ("eau", "oux", "que", "est", "é", "è", "aux", "oi"),
+}
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Vectorized substring-occurrence count via replace-length delta."""
+    n = len(needle)
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / n
+    ).cast("int")
+
+
+def ngram_lang_scores(text: Column) -> Dict[str, Column]:
+    """Character-n-gram hit counts per candidate language."""
+    lowered = F.lower(text)
+    out: Dict[str, Column] = {}
+    for lang, grams in CHAR_BIGRAMS.items():
+        score = None
+        for g in grams:
+            c = _occurrences(lowered, g)
+            score = c if score is None else score + c
+        out[lang] = score
+    return out
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopword_weight: int = 3,
+) -> DataFrame:
+    """Language ID combining the two heuristics: stopword hits (word
+    level, weighted) + character-n-gram hits. Same argmax/tie-break shape
+    as :func:`lang_id`; 'und' when neither signal fires."""
+    sw = lang_scores(F.col(text_col))
+    ng = ngram_lang_scores(F.col(text_col))
+    combined = {
+        lang: sw[lang] * stopword_weight + ng[lang] for lang in STOPWORDS
+    }
+    packed = [
+        F.struct(c.alias("hits"), F.lit(lang).alias("lang"))
+        for lang, c in sorted(combined.items(), reverse=True)
+    ]
+    best = F.greatest(*packed)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best["hits"].alias("score"),
+    )
+
+
 def fingerprint(
     text: Column, mod: int = 1_000_000_007, base: int = 31
 ) -> Column:

@@ -238,3 +238,17 @@ def test_resize_plumbing(spark, docs):
     again = multimodal.resize_images(media, width=64, height=64).collect()
     assert {r["media_id"]: bytes(r["payload"]) for r in out} == \
            {r["media_id"]: bytes(r["payload"]) for r in again}
+
+
+def test_lang_id_ngram_combined(spark):
+    rows = [
+        (0, "the weather should be nice though it might change"),
+        (1, "la canción que escuchamos en los días de lluvia"),
+        (2, "ich möchte schöne Bücher über die Geschichte lesen"),
+        (3, "les chevaux est une belle créature des châteaux"),
+        (4, "12345 67890 !!!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pred = {r["doc_id"]: r["pred_lang"]
+            for r in textstats.lang_id_ngram(df).collect()}
+    assert pred == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und"}
