@@ -159,3 +159,81 @@ def test_engine_equals_oracle_on_random_contracts(spark, schema, recs):
         assert got == expect, (schema, rec, expect, got)
         if compiled.predicates is not None:
             assert row["lean_passed"] == (len(expect) == 0), (schema, rec)
+
+
+# ---------------------------------------------------------------------------
+# quality aggregates: fused single-pass agg vs a pure-python oracle
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import math as _math
+
+quality_rows = st.lists(
+    st.tuples(
+        st.sampled_from([None, -3, 0, 5, 17, 100]),                  # v int
+        st.sampled_from([None, "x", "y"]),                           # s
+        st.integers(0, 72),                                          # age hours
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=quality_rows,
+       max_null=st.sampled_from([5.0, 30.0, 60.0]),
+       mean_min=st.integers(-5, 5),
+       fresh_h=st.sampled_from([1.0, 24.0, 100.0]))
+def test_quality_aggregates_match_python(spark, rows, max_null, mean_min,
+                                         fresh_h):
+    from data_contract_engine_spark.quality.aggregates import (
+        build_quality_agg_exprs,
+        decode_quality_row,
+    )
+    from data_contract_engine_spark.contracts.model import QualityRules
+
+    now = _dt.datetime(2025, 6, 1, 12, 0, 0)
+    data = [
+        (v, s, now - _dt.timedelta(hours=h)) for v, s, h in rows
+    ]
+    df = spark.createDataFrame(data, "v int, s string, timestamp timestamp")
+    rules = QualityRules(
+        freshness={"max_latency_hours": fresh_h},
+        completeness={"min_row_count": 2, "max_null_percentage": max_null},
+        statistics={"v": {"mean": {"min": mean_min}, "std_dev": {"max": 30}}},
+    )
+    agg_row = df.agg(*build_quality_agg_exprs(df, rules)).collect()[0].asDict()
+    got = decode_quality_row(agg_row, rules, now_epoch=now.timestamp())
+    keyf = lambda t: (t[0], t[1] or "")
+    got_kinds = sorted(
+        ((e.rule_type, e.details.get("field")) for e in got), key=keyf
+    )
+
+    # python oracle
+    expect = []
+    oldest_h = max(h for _, _, h in rows)
+    if oldest_h > fresh_h:
+        expect.append(("FRESHNESS", None))
+    n = len(rows)
+    if n < 2:
+        expect.append(("COMPLETENESS", None))
+    for col, vals in (("v", [r[0] for r in rows]),
+                      ("s", [r[1] for r in rows]),
+                      ("timestamp", [1] * n)):
+        pct = sum(1 for x in vals if x is None) / n * 100.0
+        if pct > max_null:
+            expect.append(("COMPLETENESS", col))
+    nums = [r[0] for r in rows if r[0] is not None]
+    if nums:
+        mean = sum(nums) / len(nums)
+        std = _math.sqrt(sum((x - mean) ** 2 for x in nums) / len(nums))
+        if mean < mean_min:
+            expect.append(("STATISTICS", "v"))
+        if std > 30:
+            expect.append(("STATISTICS", "v"))
+    # completeness null-% uses details["field"]; freshness/min-row don't
+    def norm(kinds):
+        return sorted(((t, f) for t, f in kinds), key=keyf)
+
+    assert got_kinds == norm(expect), (rows, agg_row, got_kinds, expect)
