@@ -362,6 +362,17 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    d = _read(spark, sf_dir, "documents")
+    pred = textstats.lang_id_ngram(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_token_stats(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return textstats.token_stats(d)
@@ -428,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_text_checksum": q_conv_text_checksum,
         "text_quality_features": q_text_quality,
         "lang_id_confusion": q_lang_id,
+        "lang_id_ngram_confusion": q_lang_id_ngram,
         "token_stats_by_source": q_token_stats,
         "doc_fingerprints": q_fingerprints,
         "media_payload_stats": q_media_stats,
@@ -501,6 +513,38 @@ _COSINE = (
 _PUNCT_RE = "[^.,;:!?''\"()\\[\\]-]"  # '' = escaped quote inside SQL literal
 
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _lang_ngram_oracle() -> str:
+    """Oracle for the combined stopword + char-n-gram language ID, built
+    from the SAME gram/stopword tables the Spark operator uses."""
+    from data_contract_engine_spark.operators.textstats import CHAR_BIGRAMS
+
+    def score(lang: str) -> str:
+        grams = " + ".join(
+            f"((length(lower(text)) - length(replace(lower(text), '{g}', '')))"
+            f" / {len(g)})::INT"
+            for g in CHAR_BIGRAMS[lang]
+        )
+        return f"({_stop_cnt(lang)} * 3 + ({grams}))"
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {score('en')} AS s_en, {score('es')} AS s_es,
+         {score('de')} AS s_de, {score('fr')} AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN greatest(s_en, s_es, s_de, s_fr) <= 0 THEN 'und'
+              WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+              ELSE 'de' END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -700,6 +744,7 @@ WITH scored AS (
 )
 SELECT lang, pred_lang, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
 """,
+        "lang_id_ngram_confusion": _lang_ngram_oracle(),
         "token_stats_by_source": f"""
 SELECT source, count(*)::BIGINT AS n_docs,
        sum(len({_WS_TOKS.format(t='text')}))::BIGINT AS ws_tokens,
