@@ -70,3 +70,32 @@ def test_package_zip(tmp_path):
     assert "data_contract_engine_spark/cli.py" in names
     assert "data_contract_engine_spark/compiler/expressions.py" in names
     assert not any(n.startswith("tests/") for n in names)
+
+
+def test_rollup_and_expire_commands(spark, tmp_path, capsys, monkeypatch):
+    import datetime as dt
+
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    rows = [
+        ("c1", True, [], dt.datetime(2025, 3, 1)),
+        ("c1", False, [{"field": "f", "error_type": "TYPE_MISMATCH",
+                        "message": "m", "value": None, "expected": None}],
+         dt.datetime(2025, 3, 1)),
+    ]
+    schema = (
+        "contract_id string, passed boolean, errors array<struct<"
+        "field:string,error_type:string,message:string,value:string,"
+        "expected:string>>, validated_at timestamp"
+    )
+    results = str(tmp_path / "results")
+    spark.createDataFrame(rows, schema).write.parquet(results)
+    rc = cli.main(["rollup", "--results", results,
+                   "--out", str(tmp_path / "metrics")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["days"] == 1 and out["summary"]["total_validations"] == 2
+
+    rc2 = cli.main(["expire", "--results", results, "--retention-days", "0"])
+    assert rc2 == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["removed"] == 2
