@@ -725,6 +725,8 @@ def _field_predicates(
                 out.append((name, "VALUE_TOO_SMALL", ok & (typed < F.lit(fd.min))))
             if fd.max is not None:
                 out.append((name, "VALUE_TOO_LARGE", ok & (typed > F.lit(fd.max))))
+            if fd.enum:
+                out.append((name, "ENUM_MISMATCH", ok & ~typed.isin(*fd.enum)))
         return out
 
     ok = v.isNotNull()

@@ -183,3 +183,38 @@ def test_nested_contract_disables_predicates(spark):
     contract = contract_from_dict(CONTRACT_DICT, name="nested")
     compiled = compile_contract(contract, SPARK_SCHEMA, CompileOptions())
     assert compiled.predicates is None
+
+
+def test_lean_predicates_stringly_numeric_enum(spark):
+    """Stringly (CSV-style) numeric fields with enum: predicate twin must
+    match the array path — covers the cast + range + enum branch."""
+    contract = contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {
+                "n": {"type": "integer", "required": True,
+                      "min": 0, "max": 10, "enum": [1, 2, 3]},
+            },
+        },
+        name="se",
+    )
+    schema = T.StructType([T.StructField("n", T.StringType())])
+    vals = ["1", "3", "7", "-4", "99", "x", "2.5", "2.0", None]
+    df = spark.createDataFrame([(v,) for v in vals], schema)
+    compiled = compile_contract(contract, schema, CompileOptions())
+    assert compiled.predicates is not None
+    from collections import Counter
+    from functools import reduce
+
+    rows = df.select(
+        compiled.errors_col.alias("errors"),
+        *[c.cast("int").alias(f"p_{i}")
+          for i, (_f, _t, c) in enumerate(compiled.predicates)],
+    ).collect()
+    for v, row in zip(vals, rows):
+        arr = Counter((e["field"], e["error_type"]) for e in row["errors"])
+        lean = Counter()
+        for i, (f, t, _c) in enumerate(compiled.predicates):
+            if row[f"p_{i}"]:
+                lean[(f, t)] += 1
+        assert arr == lean, (v, arr, lean)
