@@ -42,12 +42,16 @@ TOOL_VOCAB = ("search", "browser", "python", "sql")
 # `events` view — the exact SQL Spark runs.
 _T = f"WITH transcripts AS (\n{TRANSCRIPTS_FROM_EVENTS_SQL}\n)\n"
 
-# Flagship schema-stage failure predicate (must mirror the compiled
-# contract in fixtures/transcripts.py exactly).
+# Flagship schema-stage failure predicate — the COMPLETE rule set of the
+# compiled contract (fixtures/transcripts.py), not just the rules that
+# fire on this dataset, so the oracle stays faithful under data changes.
+# DuckDB dialect (used only on the oracle side).
 _FAIL = (
-    "(role NOT IN ('system','user','assistant','tool') "
-    "OR length(text) < 1 OR turn_idx < 0 "
-    "OR ts < TIMESTAMP '2020-01-01 00:00:00')"
+    "(conv_id IS NULL OR NOT regexp_matches(conv_id, '^conv_\\d+$') "
+    "OR turn_idx IS NULL OR turn_idx < 0 "
+    "OR role IS NULL OR role NOT IN ('system','user','assistant','tool') "
+    "OR text IS NULL OR length(text) < 1 OR length(text) > 10000 "
+    "OR ts IS NULL OR ts < TIMESTAMP '2020-01-01 00:00:00')"
 )
 
 TEXTLEN_EDGES = [20.0, 30.0, 40.0, 50.0]
