@@ -122,17 +122,18 @@ def main():
         "sf": sf,
         "cpus": cpus,
         "throughput": meta,
-        # measured separately by scripts/bench_scaling.py on an 8.5M-turn
-        # input (this sf is too small to amortize fixed costs) — see
-        # BENCH.md for the full table and methodology
-        "scaling_evidence": {
-            "efficiency_n_to_4n": 0.893,
-            "pair": "local[2] -> local[8]",
-            "turns_per_sec": {"local2": 85009, "local8": 303757,
-                              "local32": 500924, "local32_at_33.6M": 800655},
-            "source": "BENCH.md / scripts/bench_scaling.py",
-        },
     }
+    # scaling evidence measured separately by scripts/bench_scaling.py on a
+    # multi-million-turn input (this sf is too small to amortize fixed
+    # costs); read from its artifact so there is ONE source of truth
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SCALING.json")
+        ) as f:
+            out["scaling_evidence"] = json.load(f)
+    except OSError:
+        pass
     print(json.dumps(out))
     spark.stop()
 

@@ -154,9 +154,14 @@ def validate_resumable(
     if violations_out:
         from .sources import sinks
 
-        viol = run.violations()
-        part_cols = [partition_col] if partition_col in viol.columns else None
-        sinks.write_violations(viol, violations_out, part_cols)
+        # ALWAYS project the partition column into the violations frame
+        # (it exists in run.validated) so the write is partitioned by it —
+        # a dynamic-overwrite re-run then replaces only its own partitions.
+        # (Previously this silently fell back to a full unpartitioned
+        # overwrite when partition_col was not among the key columns,
+        # clobbering completed partitions' violations on resume.)
+        viol = run.violations(extra_cols=[partition_col])
+        sinks.write_violations(viol, violations_out, [partition_col])
 
     agg_cols = [
         F.count(F.lit(1)).alias("total"),

@@ -95,18 +95,26 @@ class ValidationRun:
             self.compiled.errors_col.alias(ec),
         )
 
-    def violations(self) -> DataFrame:
+    def violations(self, extra_cols: Sequence[str] = ()) -> DataFrame:
         """Exploded violation rows:
         (contract_id, key columns..., field, error_type, message, value,
-        expected) — the distributed sink artifact."""
+        expected) — the distributed sink artifact.
+
+        ``extra_cols``: additional source columns to carry through (e.g. a
+        partition column needed for a partitioned sink write — see
+        :func:`data_contract_engine_spark.checkpoint.validate_resumable`).
+        """
+        carried = list(self.key_columns) + [
+            c for c in extra_cols if c not in self.key_columns
+        ]
         v = self._failed_with_errors().select(
             F.lit(self.contract.name).alias("contract_id"),
-            *[F.col(k) for k in self.key_columns],
+            *[F.col(k) for k in carried],
             F.explode("errors").alias("e"),
         )
         return v.select(
             "contract_id",
-            *self.key_columns,
+            *carried,
             F.col("e.field").alias("field"),
             F.col("e.error_type").alias("error_type"),
             F.col("e.message").alias("message"),

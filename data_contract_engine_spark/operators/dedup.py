@@ -107,28 +107,52 @@ def shingle_table(
     )
 
 
+DEFAULT_MAX_SHINGLE_FREQ = 1000
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
-    Exact — use on small inputs or LSH candidates. ``max_shingle_freq``
-    drops shingles shared by more than that many docs (stop-shingle skew
-    guard for the self-join).
+    Exact over the retained shingle universe — use on small inputs or LSH
+    candidates. ``max_shingle_freq`` (default 1000; pass ``None`` to
+    explicitly opt out) drops shingles shared by more than that many docs:
+    a stop-shingle appearing in f docs contributes f² rows to the
+    self-join, so one shingle in 10⁵ docs would alone produce 10¹⁰ join
+    rows on a single key. Dropped shingles carry essentially no dedup
+    signal but DO change the metric near the threshold — both the
+    intersection AND the per-doc sizes are therefore computed from the
+    same filtered universe, so the reported value is the exact Jaccard
+    over retained shingles (never a mixed-universe estimate). Use
+    :func:`stop_shingle_report` to see what a given cap would drop.
     """
     sh = shingle_table(df, id_col, text_col, k)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    return jaccard_pairs_from_shingles(sh, threshold, max_shingle_freq)
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """Jaccard ≥ threshold pairs from an (id, shingle) table — lets callers
+    build the shingle table once and share it across stages (MinHash
+    signatures + candidate verification reuse one table)."""
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
         sh = (
             sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
             .select("id", "shingle")
         )
+    # sizes AFTER the stop-shingle filter: numerator and denominator must
+    # share one shingle universe or jaccard under-estimates near threshold
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -155,6 +179,25 @@ def jaccard_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def stop_shingle_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_freq: int = DEFAULT_MAX_SHINGLE_FREQ,
+) -> DataFrame:
+    """(shingle, f) for shingles ABOVE the frequency cap — what
+    :func:`jaccard_pairs` would drop ("no silent caps": surface the
+    dropped universe instead of hiding it). Sorted most-frequent first."""
+    sh = shingle_table(df, id_col, text_col, k)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > max_shingle_freq)
+        .orderBy(F.desc("f"), "shingle")
+    )
+
+
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime field for the hash family
 
 
@@ -175,6 +218,14 @@ def minhash_signatures(
     arithmetic never overflows (ANSI-safe) while i·h2 spans the field.
     """
     sh = shingle_table(df, id_col, text_col, k)
+    return minhash_signatures_from_shingles(sh, num_hashes)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """Signatures from a prebuilt (id, shingle) table — see
+    :func:`minhash_signatures` for the hash-family design."""
     h1 = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MH_PRIME))
     h2 = F.pmod(F.xxhash64(F.col("shingle"), F.lit(1)), F.lit(_MH_PRIME - 1)) + 1
     hashed = sh.select("id", h1.alias("__h1"), h2.alias("__h2"))
@@ -240,20 +291,34 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_shingle_freq: Optional[int] = None,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the scale pipeline):
-    returns (id_a, id_b, jaccard) ≥ threshold."""
+    returns (id_a, id_b, jaccard) ≥ threshold.
+
+    The shingle table is built ONCE and shared by the signature stage and
+    the candidate-verify stage (``persist_shingles`` spills it
+    MEMORY_AND_DISK between the two — without it the tokenize+shingle
+    projection of the full corpus runs twice). ``max_shingle_freq``
+    defaults to ``None`` here (unlike standalone :func:`jaccard_pairs`):
+    the verify join only sees candidate docs already pruned by LSH
+    banding, and an uncapped universe keeps the verified jaccard exact.
+    """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sh = shingle_table(df, id_col, text_col, k)
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidates(sigs, bands, rows_per_band)
     # verify only candidate pairs: semi-join the shingle table down first
     ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sub = df.join(
-        ids.withColumnRenamed("id", id_col).hint("broadcast"), id_col, "left_semi"
-    )
-    pairs = jaccard_pairs(sub, id_col, text_col, k, threshold)
+    sub_sh = sh.join(ids.hint("broadcast"), "id", "left_semi")
+    pairs = jaccard_pairs_from_shingles(sub_sh, threshold, max_shingle_freq)
     return pairs.join(cand, ["id_a", "id_b"], "left_semi")
 
 
@@ -344,25 +409,51 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     planes: int = 16,
+    bands: int = 4,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold via random-hyperplane
-    LSH bucketing (see :mod:`.similarity` for the plane construction);
-    exact cosine verified on same-bucket pairs only."""
-    from .similarity import cosine, hyperplane_bucket
+    """Embedding-cosine near-dup pairs ≥ threshold via BANDED
+    random-hyperplane LSH (OR-construction, like MinHash banding):
+    candidates share at least one band's full sign pattern; exact cosine
+    is verified on candidates only, so every returned pair is exact —
+    banding affects recall, never precision.
 
+    ``dim`` is derived from the first row when not given — a plane set of
+    the wrong width would null-pad the dot products and silently send
+    every vector to one bucket (degrading to O(n²)), so the plane width
+    must match the vector width.
+
+    Scale shape: one fused projection computes all band ids; the candidate
+    join shuffles only (band, bucket) keys; same-bucket groups ≈ near-dup
+    cluster size. No cartesian product anywhere.
+    """
+    from .similarity import cosine, hyperplane_band_buckets
+
+    if dim is None:
+        first = emb_df.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 64
     with_b = emb_df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), planes=planes, seed=seed).alias("bucket"),
+        F.posexplode(
+            hyperplane_band_buckets(
+                F.col(vec_col), planes=planes, bands=bands, seed=seed, dim=dim
+            )
+        ).alias("band", "bucket"),
     )
     a = with_b.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
     )
     b = with_b.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
     return pairs.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
-    ).filter(F.col("cosine") >= threshold).distinct()
+    ).filter(F.col("cosine") >= threshold)

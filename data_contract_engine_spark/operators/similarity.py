@@ -127,6 +127,32 @@ def hyperplane_bucket(
     return bucket.cast("long")
 
 
+def hyperplane_band_buckets(
+    vec: Column, planes: int = 16, bands: int = 4, seed: int = 42,
+    dim: int = 64,
+) -> Column:
+    """Array of ``bands`` band-bucket ids (OR-construction): the plane set
+    splits into ``bands`` contiguous groups; each band's id packs that
+    group's sign bits. Two vectors are LSH candidates when ANY band id
+    matches — band collision probability (1-θ/π)^(planes/bands) per band,
+    so recall rises with ``bands`` while candidate volume stays bounded by
+    the per-band bit width. One fused projection per row."""
+    assert planes % bands == 0, "planes must divide evenly into bands"
+    per = planes // bands
+    hp = _hyperplanes(dim, planes, seed)
+    band_cols = []
+    for b in range(bands):
+        acc = None
+        for j in range(per):
+            i = b * per + j
+            bit = F.when(
+                dot(vec, _lit_vec(hp[i])) > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append(acc.cast("long"))
+    return F.array(*band_cols)
+
+
 def ann_lsh_topk(
     emb_df: DataFrame,
     query_vec: Sequence[float],

@@ -120,12 +120,23 @@ def expire_results(
     Parquet has no row deletes, so this rewrites the relation (fine for
     the metadata-scale results table); the Iceberg variant is a
     metadata-only ``DELETE`` + snapshot expiry. Returns rows removed.
+
+    Clock semantics: with no explicit ``now``, the cutoff is computed
+    Spark-side (``current_timestamp() - make_interval``) so both sides of
+    the comparison share one clock AND one session timezone — a
+    driver-built naive-UTC literal would be re-interpreted in the session
+    timezone and skew retention by the host TZ offset. An explicit ``now``
+    (deterministic tests) is interpreted in the session timezone as usual.
     """
-    now = now or dt.datetime.utcnow()
-    cutoff = now - dt.timedelta(days=retention_days)
     df = spark.read.parquet(path).cache()
     total = df.count()
-    kept = df.filter(F.col(ts_col) >= F.lit(cutoff))
+    if now is not None:
+        cutoff_col = F.lit(now - dt.timedelta(days=retention_days))
+    else:
+        cutoff_col = F.current_timestamp() - F.make_interval(
+            days=F.lit(int(retention_days))
+        )
+    kept = df.filter(F.col(ts_col) >= cutoff_col)
     n_kept = kept.count()
     if n_kept < total:
         tmp = path.rstrip("/") + "__tmp"

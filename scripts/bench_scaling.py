@@ -136,9 +136,21 @@ runs separately or not at all).
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
     print(md)
-    print(json.dumps({"efficiency_2_to_8": round(eff28, 3),
-                      "efficiency_8_to_32": round(eff832, 3),
-                      "t2": t2, "t8": t8, "t32": t32}))
+    summary = {"efficiency_2_to_8": round(eff28, 3),
+               "efficiency_8_to_32": round(eff832, 3),
+               "t2": t2, "t8": t8, "t32": t32}
+    print(json.dumps(summary))
+    # single source of truth for measured evidence: bench.py embeds this
+    # artifact instead of hardcoding numbers that would go stale
+    artifact = {
+        "pair": "local[2] -> local[8]",
+        "efficiency_n_to_4n": round(eff28, 3),
+        "turns_per_sec": {"local2": t2, "local8": t8, "local32": t32},
+        "turns": results[8]["turns"],
+        "source": "scripts/bench_scaling.py",
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(artifact, f, indent=1)
 
 
 if __name__ == "__main__":

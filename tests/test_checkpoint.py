@@ -112,3 +112,34 @@ def test_resumable_violations_written_before_checkpoint(spark, data, tmp_path):
     v2 = spark.read.parquet(vout)
     assert v2.count() == 1  # conv_0/conv_1 clean; conv_3's row preserved
     assert {r["conv_id"] for r in v2.collect()} == {"conv_3"}
+
+
+def test_resumable_violations_partitioned_when_partition_col_not_a_key(
+    spark, data, tmp_path
+):
+    """The partition column is ALWAYS projected into the violations frame
+    (from run.validated) so the write stays partitioned + idempotent even
+    when partition_col is not among the violation key columns — a resume
+    must never clobber completed partitions' violations."""
+    eng = ContractEngine(spark)
+    contract = parse_contract_yaml(CONTRACT, name="ckpt-v2")
+    store = CheckpointStore(spark, str(tmp_path / "ck2"))
+    vout = str(tmp_path / "viol2")
+
+    only3 = data.filter(F.col("conv_id") == "conv_3")
+    validate_resumable(
+        eng, only3, contract, store, run_id="r", partition_col="conv_id",
+        key_columns=["turn_idx"], ts_col=None, violations_out=vout,
+    )
+    v1 = spark.read.parquet(vout)
+    assert v1.count() == 1
+    assert "conv_id" in v1.columns  # projected despite not being a key
+
+    # resume over the full input (conv_3 done, others clean): the write of
+    # an empty violations frame must not wipe conv_3's partition
+    validate_resumable(
+        eng, data, contract, store, run_id="r", partition_col="conv_id",
+        key_columns=["turn_idx"], ts_col=None, violations_out=vout,
+    )
+    v2 = spark.read.parquet(vout)
+    assert {r["conv_id"] for r in v2.collect()} == {"conv_3"}

@@ -252,3 +252,65 @@ def test_lang_id_ngram_combined(spark):
     pred = {r["doc_id"]: r["pred_lang"]
             for r in textstats.lang_id_ngram(df).collect()}
     assert pred == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_jaccard_stop_shingle_guard_consistent_universe(spark):
+    """With a frequency cap, BOTH intersection and sizes use the filtered
+    shingle universe — the reported jaccard is exact over retained
+    shingles, never a mixed-universe under-estimate."""
+    # every doc shares the stop-shingle "spark spark spark"; docs 0/1 are
+    # otherwise identical, doc 2 unrelated
+    stop = "spark " * 3
+    rows = [
+        (0, stop + "alpha beta gamma delta"),
+        (1, stop + "alpha beta gamma delta"),
+        (2, stop + "omega psi chi phi"),
+        (3, stop + "one two three four"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap=3 drops shingles appearing in all 4 docs (the stop prefix)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(d, threshold=0.9, max_shingle_freq=3).collect()
+    }
+    # docs 0/1 identical → jaccard over the FILTERED universe must be 1.0
+    # (the old mixed-universe math reported inter_filtered/size_unfiltered < 1)
+    assert pairs[(0, 1)] == 1.0
+    # the dropped stop-shingles are surfaced, not silent
+    report = dedup.stop_shingle_report(d, max_shingle_freq=3).collect()
+    assert len(report) > 0 and all(r["f"] == 4 for r in report)
+    # explicit opt-out restores the full universe
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            d, threshold=0.9, max_shingle_freq=None
+        ).collect()
+    }
+    assert full[(0, 1)] == 1.0
+
+
+def test_embedding_near_duplicates_banded_lsh(spark):
+    """Banded hyperplane LSH finds near-dup embedding pairs without a
+    cartesian product, at a non-default dimension (dim derived from data,
+    not assumed 64)."""
+    import random
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(24)]
+    jig = [v + rnd.uniform(-0.01, 0.01) for v in base]
+    rows = [(0, base), (1, jig)] + [
+        (i, [rnd.uniform(-1, 1) for _ in range(24)]) for i in range(2, 120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dedup.embedding_near_duplicates(
+        emb, threshold=0.99, planes=16, bands=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in found
+    for r in out:
+        assert r["cosine"] >= 0.99  # exact verify: precision is 1.0
+    # plan sanity: no cartesian product in the candidate generation
+    plan = dedup.embedding_near_duplicates(
+        emb, threshold=0.99, planes=16, bands=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
