@@ -322,22 +322,39 @@ def minhash_near_duplicates(
     return pairs.join(cand, ["id_a", "id_b"], "left_semi")
 
 
+def _portable_token_hash() -> Column:
+    """64-bit token hash assembled from two md5 hex windows — slower than
+    xxhash64 but expressible in any SQL engine (the DuckDB correctness
+    oracle recomputes it bit-for-bit). hi/lo are each < 2^32; the shift
+    wraps into the sign bit deterministically."""
+    hx = F.md5(F.col("tok").cast("binary"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash over whitespace tokens.
 
     Token-level explode, then ONE aggregate computing all 64 bit-votes
     (sum of ±1 per bit) map-side; the signature assembles driver-free with
     bit arithmetic. No UDFs.
+
+    ``portable_hash``: use the md5-derived token hash instead of xxhash64
+    so an external SQL oracle can reproduce the signature exactly (xxhash64
+    exists in Spark only). Default stays xxhash64 — cheaper per token.
     """
+    token_hash = _portable_token_hash() if portable_hash else F.xxhash64("tok")
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", token_hash)
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -360,14 +377,17 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
     Candidate generation via 4×16-bit band buckets (pigeonhole: hamming ≤ 3
     ⇒ at least one band identical), then exact popcount verification via
-    bit_count — both stages shuffle only small keys.
+    bit_count — both stages shuffle only small keys. For max_hamming ≤ 3
+    the banding is LOSSLESS, so the result equals the all-pairs answer —
+    which is what the DuckDB oracle certifies (with ``portable_hash``).
     """
-    sig = simhash(df, id_col, text_col)
+    sig = simhash(df, id_col, text_col, portable_hash=portable_hash)
     banded = sig.select(
         "id",
         "simhash",

@@ -217,6 +217,29 @@ def ivf_index(
     return centroids, assigned
 
 
+def ivf_assign(
+    emb_df: DataFrame,
+    centroids: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """List assignment against FIXED centroid literals: list_id = argmax
+    cosine (first index on exact ties). One fused projection — no fit, no
+    shuffle — so the assignment is a pure deterministic function of
+    (vector, centroids) that an external SQL oracle can replay exactly;
+    use :func:`ivf_index` when you want learned (k-means) centroids
+    instead. Same persistence story: write list_id once per table."""
+    v = F.col(vec_col)
+    scores = F.array(*[cosine(v, _lit_vec(c)) for c in centroids])
+    return emb_df.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        (F.array_position(scores, F.array_max(scores)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: List[List[float]],
