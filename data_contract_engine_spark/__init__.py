@@ -8,7 +8,11 @@ hash-aggregates, broadcast anti-joins and histogram-join drift scoring.
 """
 
 from .contracts.model import Contract, FieldDef, QualityRules
-from .contracts.parser import contract_from_dict, parse_contract_yaml
+from .contracts.parser import (
+    contract_from_dict,
+    parse_contract_yaml,
+    serialize_contract_yaml,
+)
 from .compiler.expressions import CompileOptions, compile_contract
 from .engine import BatchReport, ContractEngine, ValidationRun
 from .session import build_session
@@ -19,6 +23,7 @@ __all__ = [
     "QualityRules",
     "contract_from_dict",
     "parse_contract_yaml",
+    "serialize_contract_yaml",
     "CompileOptions",
     "compile_contract",
     "ContractEngine",

@@ -155,6 +155,79 @@ def _parse_field(path: str, spec: Dict[str, Any]) -> FieldDef:
     )
 
 
+def serialize_contract_yaml(contract: Contract) -> str:
+    """Contract IR → YAML text (parity with the reference's
+    ``serialize_to_yaml``, `app/core/yaml_parser.py:271-335`): declaration
+    order preserved, optional keys emitted only when set, ``type`` +
+    ``required`` always present on every field.
+
+    Round-trip invariant (property-tested):
+    ``parse_contract_yaml(serialize_contract_yaml(c), name=c.name) == c``
+    — so programmatically constructed IR can be persisted in the
+    versioning registry (which stores YAML text) and rolled back safely.
+    """
+    data: Dict[str, Any] = {
+        "contract_version": contract.contract_version,
+        "domain": contract.domain,
+    }
+    if contract.description:
+        data["description"] = contract.description
+    data["schema"] = {name: _field_to_dict(fd) for name, fd in contract.fields}
+    quality = _quality_to_dict(contract.quality)
+    if quality:
+        data["quality_rules"] = quality
+    return yaml.dump(
+        data,
+        default_flow_style=False,
+        sort_keys=False,
+        indent=2,
+        allow_unicode=True,
+    )
+
+
+def _field_to_dict(fd: FieldDef) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"type": fd.type, "required": fd.required}
+    if fd.pattern is not None:
+        out["pattern"] = fd.pattern
+    if fd.format is not None:
+        out["format"] = fd.format
+    if fd.min is not None:
+        out["min"] = fd.min
+    if fd.max is not None:
+        out["max"] = fd.max
+    if fd.min_length is not None:
+        out["min_length"] = fd.min_length
+    if fd.max_length is not None:
+        out["max_length"] = fd.max_length
+    if fd.description:
+        out["description"] = fd.description
+    if fd.enum:
+        out["enum"] = list(fd.enum)
+    if fd.items is not None:
+        out["items"] = _field_to_dict(fd.items)
+    if fd.properties is not None:
+        out["properties"] = {
+            name: _field_to_dict(p) for name, p in fd.properties
+        }
+    return out
+
+
+def _quality_to_dict(q: QualityRules) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in (
+        "freshness",
+        "completeness",
+        "uniqueness",
+        "statistics",
+        "referential",
+        "drift",
+    ):
+        value = getattr(q, key)
+        if value is not None:
+            out[key] = value
+    return out
+
+
 def _parse_quality(raw: Any) -> QualityRules:
     if not isinstance(raw, dict):
         raise ContractError("quality_rules must be a mapping")

@@ -97,13 +97,128 @@ def fake_features(payload: bytes, n: int = N_FEATURES) -> list:
 
 
 def decode_media(payload: bytes, kind: str, mime: str):
-    """Real media decode — NOT IMPLEMENTED in this container (no
+    """General media decode — NOT IMPLEMENTED in this container (no
     PIL/ffmpeg/librosa). Inject a ``decoder`` into :func:`extract_features`
-    in a real deployment."""
+    in a real deployment. For the two formats the Python stdlib CAN parse
+    (uncompressed 24-bit BMP, PCM WAV) use :func:`stdlib_media_decoder` —
+    it exercises the whole decode seam with a real decoder."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} mime={mime!r} requires image/audio "
         "libraries not present in this environment; pass decoder= explicitly"
     )
+
+
+# --------------------------------------------------------------------------
+# stdlib decoders: real (non-fake) decode paths with zero dependencies —
+# uncompressed 24-bit BMP via struct, PCM WAV via the `wave` module. They
+# exist so the decoder-injection seam is tested end-to-end with genuine
+# byte parsing, not only the deterministic fake.
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes):
+    """(width, height, rows) for an uncompressed 24-bit BMP; ``rows`` is
+    top-down, each row a list of (b, g, r) tuples."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp supported, got {bpp}bpp")
+    row_size = (width * 3 + 3) // 4 * 4
+    rows = []
+    for y in range(abs(height)):
+        base = pixel_off + y * row_size
+        rows.append(
+            [
+                tuple(payload[base + 3 * x: base + 3 * x + 3])
+                for x in range(width)
+            ]
+        )
+    if height > 0:
+        rows.reverse()  # positive height means bottom-up pixel storage
+    return width, abs(height), rows
+
+
+def encode_bmp(rows) -> bytes:
+    """Inverse of :func:`decode_bmp` (top-down rows of (b, g, r))."""
+    import struct
+
+    height = len(rows)
+    width = len(rows[0]) if rows else 0
+    row_size = (width * 3 + 3) // 4 * 4
+    pixels = bytearray()
+    for row in reversed(rows):  # stored bottom-up
+        line = bytearray()
+        for b, g, r in row:
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_size - len(line))
+        pixels += line
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return bytes(header + pixels)
+
+
+def decode_wav(payload: bytes):
+    """(n_channels, sample_rate, n_frames, frames bytes) via the stdlib
+    ``wave`` module."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        return (
+            w.getnchannels(),
+            w.getframerate(),
+            w.getnframes(),
+            w.readframes(w.getnframes()),
+        )
+
+
+def stdlib_media_decoder(
+    payload: bytes, kind: str, mime: str, n: int = N_FEATURES
+) -> list:
+    """Real-decode feature extractor for the stdlib-parsable formats:
+    BMP → (width, height, mean B/G/R); WAV → (channels, rate, frames,
+    RMS amplitude). Fixed-width output (zero-padded to ``n``) so it
+    drops into :func:`extract_features` as ``decoder=``."""
+    if mime == "image/bmp":
+        w, h, rows = decode_bmp(payload)
+        npx = float(w * h) or 1.0
+        sums = [0.0, 0.0, 0.0]
+        for row in rows:
+            for b, g, r in row:
+                sums[0] += b
+                sums[1] += g
+                sums[2] += r
+        feats = [float(w), float(h)] + [s / npx for s in sums]
+    elif mime == "audio/wav":
+        import audioop  # stdlib (deprecated in 3.13 but present here)
+
+        ch, rate, nframes, frames = decode_wav(payload)
+        rms = float(audioop.rms(frames, 2)) if frames else 0.0
+        feats = [float(ch), float(rate), float(nframes), rms]
+    else:
+        return [float(x) for x in fake_features(payload, n)]
+    return (feats + [0.0] * n)[:n]
+
+
+def bmp_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor BMP resize (stdlib-only) — a REAL ``resizer`` for
+    :func:`resize_images`."""
+    sw, sh, rows = decode_bmp(payload)
+    out = [
+        [rows[(y * sh) // height][(x * sw) // width] for x in range(width)]
+        for y in range(height)
+    ]
+    return encode_bmp(out)
 
 
 def extract_features(

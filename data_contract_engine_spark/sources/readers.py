@@ -94,13 +94,65 @@ _EXT_FORMATS = {
     "parquet": "parquet",
 }
 
+SAMPLE_CSV_ROWS = 5     # reference file_handlers.py:68-73
+SAMPLE_JSONL_LINES = 10  # reference file_handlers.py:131-141
+
+
+def validate_format(path: str, file_format: Optional[str] = None) -> bool:
+    """Sample-based format validation (S4 parity: reference
+    `app/core/file_handlers.py:68-73,95-101,131-141`): parse the first
+    5 rows / 10 lines driver-side BEFORE committing to a distributed
+    read, so a mislabeled file fails at submit time instead of minutes
+    into the scan. Applies to local files only — directories and remote
+    URIs return True and rely on the readers' PERMISSIVE / corrupt-record
+    handling."""
+    import json
+    import os
+
+    if not os.path.isfile(path):
+        return True
+    fmt = _EXT_FORMATS.get((file_format or path.rsplit(".", 1)[-1]).lower())
+    try:
+        if fmt == "csv":
+            import pandas as pd
+
+            pd.read_csv(path, nrows=SAMPLE_CSV_ROWS)
+        elif fmt == "json":
+            with open(path, "r", encoding="utf-8") as f:
+                data = json.load(f)
+            if not isinstance(data, (dict, list)):
+                return False
+        elif fmt == "jsonl":
+            with open(path, "r", encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    if i >= SAMPLE_JSONL_LINES:
+                        break
+                    if line.strip():
+                        json.loads(line)
+        elif fmt == "parquet":
+            with open(path, "rb") as f:
+                if f.read(4) != b"PAR1":
+                    return False
+        return True
+    except Exception:
+        return False
+
 
 def read_source(
-    spark: SparkSession, path: str, file_format: Optional[str] = None
+    spark: SparkSession,
+    path: str,
+    file_format: Optional[str] = None,
+    validate: bool = True,
 ) -> DataFrame:
-    """Handler dispatch (S5): explicit format wins, else file extension."""
+    """Handler dispatch (S5): explicit format wins, else file extension.
+    ``validate`` runs the cheap :func:`validate_format` sample parse first
+    (reference parity — the upload pipeline validates before ingesting)."""
     fmt = (file_format or path.rsplit(".", 1)[-1]).lower()
     fmt = _EXT_FORMATS.get(fmt)
+    if validate and fmt and not validate_format(path, fmt):
+        raise ValueError(
+            f"{path!r} does not parse as {fmt} (sample validation failed)"
+        )
     if fmt == "csv":
         return read_csv(spark, path)
     if fmt == "json":

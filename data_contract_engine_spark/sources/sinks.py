@@ -128,15 +128,22 @@ def expire_results(
     timezone and skew retention by the host TZ offset. An explicit ``now``
     (deterministic tests) is interpreted in the session timezone as usual.
     """
-    df = spark.read.parquet(path).cache()
-    total = df.count()
     if now is not None:
         cutoff_col = F.lit(now - dt.timedelta(days=retention_days))
     else:
         cutoff_col = F.current_timestamp() - F.make_interval(
             days=F.lit(int(retention_days))
         )
-    kept = df.filter(F.col(ts_col) >= cutoff_col)
+    return filter_rewrite_keep(spark, path, F.col(ts_col) >= cutoff_col)
+
+
+def filter_rewrite_keep(spark: SparkSession, path: str, keep_cond) -> int:
+    """Rewrite the parquet relation at ``path`` keeping only rows matching
+    ``keep_cond``; returns rows removed. The parquet stand-in for an
+    Iceberg ``DELETE FROM`` (which would be metadata-only)."""
+    df = spark.read.parquet(path).cache()
+    total = df.count()
+    kept = df.filter(keep_cond)
     n_kept = kept.count()
     if n_kept < total:
         tmp = path.rstrip("/") + "__tmp"

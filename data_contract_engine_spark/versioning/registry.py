@@ -135,6 +135,17 @@ class ContractRegistry:
         self._save()
         return rec
 
+    def create_from_contract(
+        self, name: str, contract, created_by: str = "system"
+    ) -> ContractRecord:
+        """Persist a programmatically constructed Contract IR: serialized
+        to YAML (the registry's storage format) so versioning, diffing and
+        rollback keep working on text. Round-trip safety is the
+        serializer's property-tested invariant."""
+        from ..contracts.parser import serialize_contract_yaml
+
+        return self.create(name, serialize_contract_yaml(contract), created_by)
+
     def get(self, contract_id: str) -> ContractRecord:
         rec = self._by_id.get(contract_id)
         if rec is None:

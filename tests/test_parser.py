@@ -111,3 +111,127 @@ def test_quality_rule_bounds():
     )
     assert with_rules.quality.completeness["min_row_count"] == 10
     assert with_rules.quality.uniqueness["fields"] == ["a"]
+
+
+# ---------------------------------------------------------------------------
+# serialize_to_yaml parity (reference yaml_parser.py:271-335)
+# ---------------------------------------------------------------------------
+
+
+def test_serialize_round_trips_fixed_contracts(user_contract_yaml):
+    from data_contract_engine_spark.contracts import templates
+    from data_contract_engine_spark.contracts.parser import (
+        serialize_contract_yaml,
+    )
+    from data_contract_engine_spark.fixtures.transcripts import (
+        FLAGSHIP_CONTRACT_YAML,
+    )
+
+    sources = [user_contract_yaml, FLAGSHIP_CONTRACT_YAML] + [
+        templates.get_template(n)["yaml"] for n in templates.template_names()
+    ]
+    for src in sources:
+        c = parse_contract_yaml(src, name="rt")
+        out = serialize_contract_yaml(c)
+        assert parse_contract_yaml(out, name="rt") == c
+
+
+def test_serialize_round_trips_generated_contracts():
+    """Property: parse(serialize(c)) == c over generated IR (nested
+    arrays/objects, enums, bounds, quality rules)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_contract_engine_spark.contracts.model import (
+        Contract,
+        FieldDef,
+        QualityRules,
+    )
+    from data_contract_engine_spark.contracts.parser import (
+        serialize_contract_yaml,
+    )
+
+    names = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+
+    def leaf():
+        return st.builds(
+            FieldDef,
+            type=st.sampled_from(["string", "integer", "float", "boolean"]),
+            required=st.booleans(),
+            pattern=st.none() | st.just("^x_\\d+$"),
+            format=st.none() | st.sampled_from(["email", "uuid"]),
+            min=st.none() | st.integers(-5, 2),
+            max=st.none() | st.integers(3, 9),
+            min_length=st.none() | st.integers(0, 3),
+            max_length=st.none() | st.integers(4, 9),
+            enum=st.none() | st.tuples(st.just("a"), st.just("b")),
+            description=st.none() | st.just("d"),
+        )
+
+    def array_field():
+        return st.builds(
+            FieldDef,
+            type=st.just("array"),
+            required=st.booleans(),
+            min_length=st.none() | st.integers(0, 2),
+            max_length=st.none() | st.integers(3, 5),
+            items=leaf(),
+        )
+
+    def object_field():
+        return st.builds(
+            FieldDef,
+            type=st.just("object"),
+            required=st.booleans(),
+            properties=st.lists(
+                st.tuples(names, leaf()), min_size=1, max_size=3,
+                unique_by=lambda t: t[0],
+            ).map(tuple),
+        )
+
+    quality = st.builds(
+        QualityRules,
+        freshness=st.none() | st.just({"max_latency_hours": 24}),
+        completeness=st.none()
+        | st.just({"min_row_count": 1, "max_null_percentage": 5}),
+        uniqueness=st.none() | st.just({"fields": ["a", ["a", "b"]]}),
+        statistics=st.none() | st.just({"a": {"mean": {"min": 0, "max": 9}}}),
+    )
+
+    contracts = st.builds(
+        Contract,
+        contract_version=st.just("1.0"),
+        domain=st.sampled_from(["default", "users"]),
+        description=st.none() | st.just("desc"),
+        fields=st.lists(
+            st.tuples(names, st.one_of(leaf(), array_field(), object_field())),
+            min_size=1, max_size=4, unique_by=lambda t: t[0],
+        ).map(tuple),
+        quality=quality,
+        name=st.just("gen"),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(contracts)
+    def check(c):
+        out = serialize_contract_yaml(c)
+        assert parse_contract_yaml(out, name="gen") == c
+
+    check()
+
+
+def test_registry_persists_constructed_ir(tmp_path):
+    from data_contract_engine_spark.contracts.model import Contract, FieldDef
+    from data_contract_engine_spark.versioning.registry import (
+        ContractRegistry,
+    )
+
+    c = Contract(
+        contract_version="1.0",
+        domain="users",
+        fields=(("user_id", FieldDef(type="string", pattern="^usr_\\d+$")),),
+        name="constructed",
+    )
+    reg = ContractRegistry(str(tmp_path / "reg.json"))
+    rec = reg.create_from_contract("constructed", c)
+    got = parse_contract_yaml(rec.yaml_content, name="constructed")
+    assert got == c
