@@ -419,6 +419,43 @@ def q_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(d)
 
 
+def q_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style filters): dup-gram
+    and top-gram fractions over word bigrams."""
+    d = _read(spark, sf_dir, "documents")
+    return textstats.repetition_features(d, k=2)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction: the corpus itself is clean, so each text is salted
+    with deterministic synthetic PII (email/IP/SSN/phone derived from
+    doc_id) that BOTH engines construct identically; the gate checks the
+    per-category match counts and the md5 of the fully redacted text."""
+    d = _read(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ssn 123-45-6789 call (415) 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" :: "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = textstats.redact_pii(salted)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_md5"),
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+    )
+
+
 # ---- multimodal plumbing ---------------------------------------------------
 
 
@@ -482,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_ngram_confusion": q_lang_id_ngram,
         "token_stats_by_source": q_token_stats,
         "doc_fingerprints": q_fingerprints,
+        "repetition_features": q_repetition,
+        "pii_redaction": q_pii_redaction,
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
@@ -731,6 +770,57 @@ FROM h, s
     )
 
 
+_REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS tok
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS s FROM documents)
+), grams AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+), per_gram AS (
+  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, sum(c) AS n_grams, count(*) AS distinct_grams,
+         max(c) AS top, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep
+  FROM per_gram GROUP BY 1
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams,
+       distinct_grams::BIGINT AS distinct_grams,
+       round(rep * 1.0 / n_grams, 4) AS dup_gram_fraction,
+       round(top * 1.0 / n_grams, 4) AS top_gram_fraction
+FROM per_doc
+"""
+
+
+def _pii_oracle() -> str:
+    """Mirror of q_pii_redaction built from the SAME PII_PATTERNS tuples
+    (single source of truth for the regexes)."""
+    from data_contract_engine_spark.operators.textstats import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        return p.replace("'", "''")
+
+    red = "text"
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{esc(pat)}', '{repl}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(text, '{esc(pat)}'))::BIGINT AS n_{name}"
+        )
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         'contact user' || doc_id || '@example.com ip 10.0.0.'
+           || (doc_id % 200) || ' ssn 123-45-6789 call (415) 555-01'
+           || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' :: ' || text AS text
+  FROM documents
+)
+SELECT doc_id, md5({red}) AS redacted_md5, {', '.join(counts)}
+FROM salted
+"""
+
+
 _MEDIA_FEATURES_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -892,6 +982,8 @@ FROM documents
         "ivf_ann_top10": _ivf_oracle(),
         "drift_psi_textlen": _drift_psi_oracle(hist_case),
         "media_features_pandas": _MEDIA_FEATURES_SQL,
+        "repetition_features": _REPETITION_SQL,
+        "pii_redaction": _pii_oracle(),
         "dedup_exact_keep": """
 SELECT doc_id FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

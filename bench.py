@@ -51,10 +51,17 @@ def main():
     queries = {}
     meta = {}
 
-    # q1 — full contract suite over transcripts (the authoritative metric)
-    tr = spark_transcripts_from_events(
-        spark, spark.read.parquet(f"{sf_dir}/events.parquet")
-    ).cache()
+    # q1 — full contract suite over transcripts (the authoritative metric).
+    # Small-sf parquet arrives as ONE split; repartition the cached input
+    # to the worker count so the suite measures the engine, not a serial
+    # scan (a production table has thousands of splits already).
+    tr = (
+        spark_transcripts_from_events(
+            spark, spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+        .repartition(cpus)
+        .cache()
+    )
     n_turns = tr.count()  # materialize cache so q1 times the suite, not the derive
 
     # drift baseline snapshot: established once per baseline, not per run

@@ -237,7 +237,9 @@ def _parse_quality(raw: Any) -> QualityRules:
     if "freshness" in raw:
         fr = raw["freshness"]
         if not isinstance(fr, dict) or "max_latency_hours" not in fr:
-            raise ContractError("freshness needs max_latency_hours")
+            raise ContractError(
+                "Freshness rule must specify 'max_latency_hours'"
+            )
         hours = fr["max_latency_hours"]
         if not isinstance(hours, (int, float)) or isinstance(hours, bool) or hours <= 0:
             raise ContractError("max_latency_hours must be a positive number")
@@ -254,7 +256,9 @@ def _parse_quality(raw: Any) -> QualityRules:
         if "max_null_percentage" in comp:
             mnp = comp["max_null_percentage"]
             if not isinstance(mnp, (int, float)) or not (0 <= mnp <= 100):
-                raise ContractError("max_null_percentage must be in [0, 100]")
+                raise ContractError(
+                    "max_null_percentage must be between 0 and 100"
+                )
         out["completeness"] = dict(comp)
 
     if "uniqueness" in raw:

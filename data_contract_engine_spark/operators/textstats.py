@@ -207,6 +207,91 @@ def lang_id_ngram(
     )
 
 
+def word_grams(text: Column, k: int = 2) -> Column:
+    """Overlapping k-word grams (NOT distinct — repetition analysis needs
+    multiplicity); fewer than k words → empty array."""
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition
+    filters): for each doc, the fraction of k-word grams that occur more
+    than once and the share of the single most frequent gram. High values
+    flag boilerplate / degenerate generations.
+
+    Shape at scale: one explode + per-(doc, gram) hash-agg + per-doc
+    hash-agg — both map-side combined, shuffles carry only (id, gram) then
+    id. Docs with fewer than k words produce no grams and are absent from
+    the output (callers left-join if they need every doc).
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(F.col(text_col), k)).alias("g"),
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_gram_count"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("__rep"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "distinct_grams",
+        F.round(F.col("__rep") / F.col("n_grams"), 4).alias(
+            "dup_gram_fraction"
+        ),
+        F.round(F.col("top_gram_count") / F.col("n_grams"), 4).alias(
+            "top_gram_fraction"
+        ),
+    )
+
+
+# PII redaction: order matters — specific patterns run before the general
+# phone pattern so "123-45-6789" becomes <SSN>, not part of a phone match.
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): no lookaround, no backreferences.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\b\d[\d .()-]{7,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted text, per-category match counts) — a chained
+    ``regexp_replace`` projection (codegen-fused, zero shuffles). Counts
+    are measured per pattern on the ORIGINAL text; replacement is
+    sequential in ``PII_PATTERNS`` order, so later patterns never re-match
+    inside earlier placeholders."""
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), red.alias("text_redacted"), *counts)
+
+
 def fingerprint(
     text: Column, mod: int = 1_000_000_007, base: int = 31
 ) -> Column:

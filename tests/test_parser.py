@@ -235,3 +235,44 @@ def test_registry_persists_constructed_ir(tmp_path):
     rec = reg.create_from_contract("constructed", c)
     got = parse_contract_yaml(rec.yaml_content, name="constructed")
     assert got == c
+
+
+def test_quality_rule_validation_messages_pinned(caplog):
+    """Ported reference cases (`yaml_parser.py:199-269`): each malformed
+    rule produces the reference's message text (surfaced via the drop
+    warning) and degrades to no-quality-rules, never a hard failure."""
+    import logging
+
+    cases = [
+        ({"freshness": {"window": 1}},
+         "Freshness rule must specify 'max_latency_hours'"),
+        ({"freshness": {"max_latency_hours": 0}},
+         "max_latency_hours must be a positive number"),
+        ({"freshness": {"max_latency_hours": "soon"}},
+         "max_latency_hours must be a positive number"),
+        ({"completeness": {"min_row_count": -1}},
+         "min_row_count must be a non-negative integer"),
+        ({"completeness": {"min_row_count": 1.5}},
+         "min_row_count must be a non-negative integer"),
+        ({"completeness": {"max_null_percentage": 101}},
+         "max_null_percentage must be between 0 and 100"),
+        ({"uniqueness": {}},
+         "uniqueness needs a non-empty 'fields' list"),
+        ({"uniqueness": {"fields": []}},
+         "uniqueness needs a non-empty 'fields' list"),
+        ({"statistics": {"a": 5}},
+         "statistics for 'a' must be a mapping"),
+    ]
+    for rules, message in cases:
+        with caplog.at_level(logging.WARNING):
+            caplog.clear()
+            c = contract_from_dict(
+                {
+                    "contract_version": "1.0",
+                    "schema": {"a": {"type": "string"}},
+                    "quality_rules": rules,
+                }
+            )
+        assert not c.quality.any(), rules
+        assert any(message in r.message for r in caplog.records), (
+            rules, [r.message for r in caplog.records])

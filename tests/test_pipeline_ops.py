@@ -396,3 +396,36 @@ def test_sample_format_validation(spark, tmp_path):
     # explicit opt-out skips the sample parse (PERMISSIVE readers handle it)
     got, n_corrupt = readers.read_jsonl(spark, str(bad_jsonl))
     assert got.count() == 1 and n_corrupt == 1
+
+
+def test_repetition_features(spark):
+    rows = [(0, "a b a b a b"), (1, "x y z w"), (2, "solo")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.repetition_features(d).collect()}
+    # doc0 bigrams: "a b","b a","a b","b a","a b" -> n=5 distinct=2 top=3
+    assert got[0]["n_grams"] == 5 and got[0]["distinct_grams"] == 2
+    assert got[0]["dup_gram_fraction"] == 1.0
+    assert got[0]["top_gram_fraction"] == 0.6
+    assert got[1]["dup_gram_fraction"] == 0.0
+    assert 2 not in got  # fewer than k words -> no grams -> absent
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail a.b+c@test.org or call (415) 555-0134 now"),
+        (1, "ssn 123-45-6789 at 10.1.2.34"),
+        (2, "clean text with no pii at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.redact_pii(d).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert "<EMAIL>" in got[0]["text_redacted"]
+    assert "<PHONE>" in got[0]["text_redacted"]
+    assert "a.b+c@test.org" not in got[0]["text_redacted"]
+    assert got[1]["n_ssn"] == 1 and got[1]["n_ipv4"] == 1
+    assert got[1]["text_redacted"] == "ssn <SSN> at <IP>"
+    assert got[2]["text_redacted"] == rows[2][1]
+    assert (
+        got[2]["n_email"] == got[2]["n_ipv4"] == got[2]["n_ssn"]
+        == got[2]["n_phone"] == 0
+    )
