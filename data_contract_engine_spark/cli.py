@@ -142,6 +142,77 @@ def cmd_rollup(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Dedup job: exact keep-list or near-dup pair detection over a
+    document table — the pipeline operators behind one spark-submit
+    surface."""
+    from .operators import dedup as dedup_op
+
+    spark = build_session(app_name=f"dce-dedup-{args.method}")
+    df = _read_table_or_path(spark, args.input, args.format)
+    summary = {"method": args.method, "input_docs": df.count()}
+    if args.method == "exact":
+        kept = dedup_op.exact_dedup(df, args.text_col, args.id_col)
+        kept.write.mode("overwrite").parquet(args.out)
+        summary["kept_docs"] = spark.read.parquet(args.out).count()
+    else:
+        if args.method == "minhash":
+            pairs = dedup_op.minhash_near_duplicates(
+                df, args.id_col, args.text_col, threshold=args.threshold
+            )
+        else:  # simhash
+            pairs = dedup_op.simhash_near_duplicates(
+                df, args.id_col, args.text_col, max_hamming=args.max_hamming
+            )
+        pairs.write.mode("overwrite").parquet(args.out)
+        summary["duplicate_pairs"] = spark.read.parquet(args.out).count()
+    print(json.dumps(summary))
+    _stop(spark)
+    return 0
+
+
+def cmd_textstats(args) -> int:
+    """Text-analysis job: per-document quality / repetition / language-ID /
+    PII features written as one joined parquet relation."""
+    from pyspark.sql import functions as F
+
+    from .operators import textstats as ts
+
+    spark = build_session(app_name="dce-textstats")
+    df = _read_table_or_path(spark, args.input, args.format)
+    ops = set(args.ops.split(","))
+    out = df.select(F.col(args.id_col))
+    if "quality" in ops:
+        out = out.join(ts.quality_features(df, args.text_col, args.id_col),
+                       args.id_col, "left")
+    if "repetition" in ops:
+        out = out.join(
+            ts.repetition_features(df, args.text_col, args.id_col),
+            args.id_col, "left",
+        )
+    if "langid" in ops:
+        out = out.join(ts.lang_id_ngram(df, args.text_col, args.id_col),
+                       args.id_col, "left")
+    if "pii" in ops:
+        out = out.join(
+            ts.redact_pii(df, args.text_col, args.id_col).drop("text_redacted"),
+            args.id_col, "left",
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "docs": spark.read.parquet(args.out).count(),
+        "ops": sorted(ops),
+    }))
+    _stop(spark)
+    return 0
+
+
+def _read_table_or_path(spark: SparkSession, input_: str, fmt):
+    if "/" in input_ or input_.endswith((".parquet", ".csv", ".json", ".jsonl")):
+        return readers.read_source(spark, input_, fmt)
+    return spark.table(input_)
+
+
 def cmd_expire(args) -> int:
     spark = build_session(app_name="dce-expire")
     removed = sinks.expire_results(
@@ -184,6 +255,28 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--results", required=True)
     e.add_argument("--retention-days", type=int, default=90)
     e.set_defaults(fn=cmd_expire)
+
+    d = sub.add_parser("dedup", help="exact / near-duplicate detection")
+    d.add_argument("--input", required=True)
+    d.add_argument("--format", default=None)
+    d.add_argument("--method", choices=["exact", "minhash", "simhash"],
+                   default="exact")
+    d.add_argument("--id-col", default="doc_id")
+    d.add_argument("--text-col", default="text")
+    d.add_argument("--threshold", type=float, default=0.8)
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_dedup)
+
+    t = sub.add_parser("textstats", help="per-document text features")
+    t.add_argument("--input", required=True)
+    t.add_argument("--format", default=None)
+    t.add_argument("--id-col", default="doc_id")
+    t.add_argument("--text-col", default="text")
+    t.add_argument("--ops", default="quality,repetition,langid,pii",
+                   help="comma-set of quality,repetition,langid,pii")
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=cmd_textstats)
     return p
 
 

@@ -148,6 +148,20 @@ def main():
         + "```\n"
     )
 
+    out.append(
+        "## 8. Embedding near-dup — banded hyperplane LSH (no cartesian "
+        "product)\n\n"
+        "Candidates come from a (band, bucket) equi-join — the only "
+        "Exchanges carry band keys and candidate ids, never an all-pairs "
+        "product; exact cosine verifies candidates only. (Round 1 shipped "
+        "a crossJoin gate here; this is the scale plan that replaced "
+        "it.)\n\n"
+        "```\n"
+        + trim(plan_of(dedup.embedding_near_duplicates(
+            emb, threshold=0.9, planes=32, bands=4)), 80)
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))

@@ -99,3 +99,43 @@ def test_rollup_and_expire_commands(spark, tmp_path, capsys, monkeypatch):
     assert rc2 == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["removed"] == 2
+
+
+def test_dedup_and_textstats_commands(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the dog"),
+            (1, "the quick brown fox jumps over the dog"),  # exact dup
+            (2, "mail me at a@b.io please please please please"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+
+    out1 = str(tmp_path / "kept")
+    rc = cli.main(["dedup", "--input", src, "--method", "exact",
+                   "--out", out1])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_docs"] == 3 and rep["kept_docs"] == 2
+
+    out2 = str(tmp_path / "pairs")
+    rc = cli.main(["dedup", "--input", src, "--method", "minhash",
+                   "--threshold", "0.8", "--out", out2])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["duplicate_pairs"] == 1
+
+    out3 = str(tmp_path / "feats")
+    rc = cli.main(["textstats", "--input", src, "--out", out3])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 3
+    feats = {r["doc_id"]: r for r in spark.read.parquet(out3).collect()}
+    assert feats[2]["n_email"] == 1
+    assert feats[2]["top_gram_fraction"] is not None
+    assert feats[0]["pred_lang"] == "en"
