@@ -56,6 +56,30 @@ def validate_stream(
     return out
 
 
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup for ingest pipelines: keep the first arrival
+    of each content digest, with dedup state BOUNDED by the watermark
+    (``dropDuplicatesWithinWatermark``) — the standard shape for
+    training-data ingestion where duplicates cluster in time (re-crawls,
+    retries, multi-source overlap). Unbounded-state dropDuplicates would
+    OOM a long-running stream; the watermark trades cross-horizon dup
+    detection for O(horizon) state, and the batch ``exact_dedup`` pass
+    downstream catches far-apart duplicates."""
+    from ..operators.dedup import content_digest
+
+    return (
+        stream_df.withColumn("__digest", content_digest(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )
+
+
 def windowed_verdicts(
     validated: DataFrame,
     ts_col: str = "ts",

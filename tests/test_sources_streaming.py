@@ -343,3 +343,34 @@ def test_streaming_drift_monitor(spark, tmp_path):
     assert len(scores) == 2
     low, high = scores[0], scores[1]
     assert low < 0.05 and high > 0.5
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from data_contract_engine_spark.streaming.validate import (
+        stream_exact_dedup,
+    )
+
+    src = tmp_path / "dedup_in"
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (0, "same content", base),
+        (1, "same content", base + dt.timedelta(seconds=10)),  # dup
+        (2, "other content", base + dt.timedelta(seconds=20)),
+        (3, "same content", base + dt.timedelta(seconds=30)),  # dup
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    deduped = stream_exact_dedup(stream, watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from dedup_stream").collect()
+    # one row per distinct content within the watermark horizon
+    assert sorted(r["text"] for r in out) == ["other content", "same content"]
+    assert {r["doc_id"] for r in out} <= {0, 1, 2, 3} and len(out) == 2
