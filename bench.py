@@ -73,14 +73,24 @@ def main():
         tr, {c: s.get("expr") or c for c, s in contract.quality.drift.items()}
     )
 
+    # warmup (not timed): JIT + codegen + python workers + parquet footers
+    # — same methodology as scripts/bench_scaling.py; the suite number is
+    # steady-state engine throughput, not JVM cold-start
+    ContractEngine(spark, drift_baseline_snapshot=snap).validate(
+        tr.limit(2000), contract, key_columns=["conv_id", "turn_idx"]
+    ).report()
+
     def full_suite():
+        import tempfile
+
         eng = ContractEngine(spark, drift_baseline_snapshot=snap)
         run = eng.validate(
             tr, contract, key_columns=["conv_id", "turn_idx"]
         )
-        rep = run.report()
-        n_viol = run.violations().count()
-        return rep.total_records, n_viol
+        # production path: violations artifact written while the SAME
+        # scan's aggregates are collected via observe() — one pass total
+        rep = run.execute(tempfile.mkdtemp(prefix="dce_bench_viol_"))
+        return rep.total_records, rep.total_violation_rows
 
     queries["full_contract_suite"], (total, n_viol) = timed(full_suite)
     meta["validated_turns"] = total
