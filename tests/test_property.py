@@ -237,3 +237,38 @@ def test_quality_aggregates_match_python(spark, rows, max_null, mean_min,
         return sorted(((t, f) for t, f in kinds), key=keyf)
 
     assert got_kinds == norm(expect), (rows, agg_row, got_kinds, expect)
+
+
+def test_pii_redaction_matches_python_re(spark):
+    """Differential vs Python `re` on adversarial-ish random strings: the
+    PII patterns live in the Java-regex/RE2/`re` shared subset, so counts
+    and the redacted text must agree across engines."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_contract_engine_spark.operators.textstats import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    alphabet = st.sampled_from(
+        list("abcXYZ0123456789 @._%+-()") + ["@ex.co", "1.2.3.4", "123-45-6789"]
+    )
+    texts = st.lists(alphabet, min_size=0, max_size=25).map("".join)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=8))
+    def check(batch):
+        rows = [(i, t) for i, t in enumerate(batch)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+        for i, t in rows:
+            expected_red = t
+            for name, pat, repl in PII_PATTERNS:
+                n = len(_re.findall(pat, t))
+                assert got[i][f"n_{name}"] == n, (t, name)
+                expected_red = _re.sub(pat, repl, expected_red)
+            assert got[i]["text_redacted"] == expected_red, t
+
+    check()
