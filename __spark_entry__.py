@@ -26,6 +26,7 @@ from data_contract_engine_spark.operators import (
     drift,
     multimodal,
     referential as ref_op,
+    sampling,
     similarity,
     textstats,
     uniqueness as uniq_op,
@@ -419,6 +420,28 @@ def q_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(d)
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling: membership is a pure function of the
+    key (portable md5-derived hash), so the oracle replays it exactly —
+    and the sample is repartition-stable and nested across rates, which
+    `df.sample` is not."""
+    d = _read(spark, sf_dir, "documents")
+    return sampling.hash_sample(d, 0.25, "doc_id").select("doc_id")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing over per-doc token counts:
+    per-shard deterministic order + window cumsum → (shard, pack_id,
+    pack_offset); the oracle replays the same window arithmetic."""
+    d = _read(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id", textstats.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        with_tokens, budget=512, token_col="n_tokens", n_shards=16
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style filters): dup-gram
     and top-gram fractions over word bigrams."""
@@ -521,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "repetition_features": q_repetition,
         "pii_redaction": q_pii_redaction,
+        "hash_sample_docs": q_hash_sample,
+        "pack_sequences_docs": q_pack_sequences,
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
@@ -743,6 +768,7 @@ ORDER BY sim DESC, vec_id LIMIT 10
 
 
 _EPS = 1e-6  # drift epsilon (data_contract_engine_spark.operators.drift.EPS)
+_HASH_SPACE = 1_000_000  # sampling.HASH_SPACE
 
 
 def _drift_psi_oracle(hist_case: str) -> str:
@@ -984,6 +1010,29 @@ FROM documents
         "media_features_pandas": _MEDIA_FEATURES_SQL,
         "repetition_features": _REPETITION_SQL,
         "pii_redaction": _pii_oracle(),
+        "hash_sample_docs": f"""
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+      % {_HASH_SPACE} < {int(0.25 * _HASH_SPACE)}
+""",
+        "pack_sequences_docs": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> ''))::INT AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT AS h
+  FROM documents
+), ordered AS (
+  SELECT doc_id, n_tokens, (h % 16)::INT AS shard,
+         sum(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+  FROM t
+)
+SELECT doc_id, n_tokens, shard,
+       (prev_cum // 512)::INT AS pack_id,
+       (prev_cum % 512)::BIGINT AS pack_offset
+FROM ordered
+""",
         "dedup_exact_keep": """
 SELECT doc_id FROM documents
 WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -1,0 +1,118 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Two operations every large-scale dataset build needs and `df.sample` does
+not give you:
+
+* **hash sampling** — membership decided by a pure hash of a stable key,
+  so the sample is reproducible across runs, engines and repartitions
+  (``df.sample`` depends on partition layout and RNG state), and
+  subsets nest: rate 0.1 ⊂ rate 0.2 ⊂ … because the keep rule is a
+  threshold on the same hash value. Stratified variant applies per-group
+  rates (e.g. downsample web crawl, keep all books).
+* **sequence packing** — the "concat documents, cut into fixed token
+  budgets" shape used to build LLM pretraining examples. Packing is done
+  per shard (hash of the id) with a window cumsum inside each shard, so
+  the sort is per-shard, never global — at 10¹² docs every shard packs
+  independently on its executor.
+
+Both are pure Column pipelines (no UDFs) and both use the md5-derived
+portable hash so an external SQL oracle can replay membership exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HASH_SPACE = 1_000_000
+
+
+def portable_key_hash(key: Column, seed: int = 42) -> Column:
+    """Stable 32-bit-ish hash of a key column: md5 hex window → bigint.
+    Portable to any SQL engine (the DuckDB oracle recomputes it)."""
+    hx = F.md5(F.concat(key.cast("string"), F.lit(f"|{seed}")).cast("binary"))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep rows where hash(key) mod 10⁶ < rate·10⁶ — a deterministic,
+    nested, repartition-stable sample. Pure filter: pushes to the scan,
+    zero shuffles."""
+    h = F.pmod(portable_key_hash(F.col(key_col), seed), F.lit(HASH_SPACE))
+    return df.filter(h < F.lit(int(rate * HASH_SPACE)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum hash sampling: ``rates`` maps stratum value → keep
+    rate; unlisted strata keep ``default_rate``. One fused CASE filter."""
+    h = F.pmod(portable_key_hash(F.col(key_col), seed), F.lit(HASH_SPACE))
+    threshold = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        t = F.lit(int(rate * HASH_SPACE))
+        threshold = (
+            F.when(cond, t) if threshold is None else threshold.when(cond, t)
+        )
+    threshold = (
+        F.lit(int(default_rate * HASH_SPACE))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(default_rate * HASH_SPACE)))
+    )
+    return df.filter(h < threshold)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents are sharded by key
+    hash, ordered deterministically inside the shard (hash, then id — a
+    stable pseudo-random order), concatenated into one virtual token
+    stream per shard, and cut at every ``budget`` tokens. Each document
+    gets (shard, pack_id, pack_offset) = the pack containing its FIRST
+    token and its start position there; a document may span into the
+    following pack(s) — the standard LLM-pretraining packing shape (the
+    trainer masks attention across document boundaries).
+
+    The window is ``partitionBy(shard)`` — per-shard sort, never a global
+    one — so packing scales with executors; shard count bounds per-task
+    sort size; the cut itself is a closed-form projection over the
+    running token sum (no iterative bin state).
+    """
+    h = portable_key_hash(F.col(id_col), seed)
+    out = df.select(
+        "*",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("__order"),
+    )
+    w = Window.partitionBy("shard").orderBy("__order", id_col)
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # tokens before this doc in the shard stream decide where it starts
+    prev_cum = cum - F.col(token_col)
+    pack_id = F.floor(prev_cum / F.lit(budget)).cast("int")
+    pack_offset = (prev_cum - pack_id * F.lit(budget)).cast("long")
+    return out.select(
+        *[c for c in df.columns],
+        "shard",
+        pack_id.alias("pack_id"),
+        pack_offset.alias("pack_offset"),
+    )

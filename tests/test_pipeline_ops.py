@@ -429,3 +429,64 @@ def test_redact_pii(spark):
         got[2]["n_email"] == got[2]["n_ipv4"] == got[2]["n_ssn"]
         == got[2]["n_phone"] == 0
     )
+
+
+def test_hash_sampling_deterministic_and_nested(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(2000)], "doc_id long, src string"
+    )
+    s10 = {r["doc_id"] for r in sampling.hash_sample(d, 0.1, "doc_id").collect()}
+    s10b = {r["doc_id"] for r in sampling.hash_sample(d, 0.1, "doc_id").collect()}
+    s30 = {r["doc_id"] for r in sampling.hash_sample(d, 0.3, "doc_id").collect()}
+    assert s10 == s10b                      # reproducible
+    assert s10 <= s30                       # nested: lower rate ⊂ higher
+    assert 0.05 < len(s10) / 2000 < 0.15    # near the target rate
+    # repartition-stable (df.sample is not)
+    s10c = {
+        r["doc_id"]
+        for r in sampling.hash_sample(d.repartition(7), 0.1, "doc_id").collect()
+    }
+    assert s10c == s10
+
+    strat = sampling.stratified_hash_sample(
+        d, {"s0": 0.0, "s1": 1.0}, "src", "doc_id", default_rate=0.5
+    ).groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in strat}
+    assert "s0" not in got
+    assert got["s1"] == len([i for i in range(2000) if i % 3 == 1])
+    assert 200 < got.get("s2", 0) < 500     # ~half of ~666
+
+
+def test_pack_sequences_invariants(spark):
+    import hashlib
+
+    from data_contract_engine_spark.operators import sampling
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(300)]  # doc_id, n_tokens
+    d = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    budget = 128
+    out = sampling.pack_sequences(
+        d, budget, "n_tokens", n_shards=8
+    ).collect()
+    assert len(out) == 300
+
+    def key_hash(doc_id):
+        hx = hashlib.md5(f"{doc_id}|42".encode()).hexdigest()
+        return int(hx[:8], 16)
+
+    # replicate the shard/order/cumsum logic driver-side and compare
+    by_shard = {}
+    for i, n in rows:
+        by_shard.setdefault(key_hash(i) % 8, []).append(i)
+    expected = {}
+    for shard, ids in by_shard.items():
+        cum = 0
+        for i in sorted(ids, key=lambda x: (key_hash(x), x)):
+            n = dict(rows)[i]
+            expected[i] = (shard, cum // budget, cum % budget)
+            cum += n
+    got = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
+           for r in out}
+    assert got == expected
