@@ -420,6 +420,16 @@ def q_fingerprints(spark, sf_dir):
     return textstats.doc_fingerprints(d)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over near-dup pairs (min-label propagation,
+    localCheckpoint per round): transitive matches collapse into one
+    cluster labeled by its min doc id. The oracle computes the same
+    components with a recursive CTE over the exact-jaccard pair set."""
+    d = _read(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, threshold=0.6, max_shingle_freq=None)
+    return dedup.duplicate_clusters(pairs)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling: membership is a pure function of the
     key (portable md5-derived hash), so the oracle replays it exactly —
@@ -546,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "hash_sample_docs": q_hash_sample,
         "pack_sequences_docs": q_pack_sequences,
+        "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
@@ -605,6 +616,34 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+"""
+)
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _SHINGLES
+    + """
+, inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), verts AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id, min(lbl)::BIGINT AS cluster_id FROM reach GROUP BY id
 """
 )
 
@@ -1010,6 +1049,7 @@ FROM documents
         "media_features_pandas": _MEDIA_FEATURES_SQL,
         "repetition_features": _REPETITION_SQL,
         "pii_redaction": _pii_oracle(),
+        "dedup_clusters": _CLUSTERS_SQL,
         "hash_sample_docs": f"""
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT

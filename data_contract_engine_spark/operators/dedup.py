@@ -440,6 +440,68 @@ def simhash_near_duplicates(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, cluster_id)
+    with cluster_id = the minimum id in the component. This is the step
+    that turns pairwise similarity output into dedup GROUPS ("keep one
+    per cluster"), where transitive matches (A~B, B~C but not A~C) must
+    land in one group.
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the min label among itself and its neighbors (two shuffles per
+    round: edge-label join + per-vertex min). Rounds needed = component
+    diameter; near-dup clusters are near-cliques, so 2-4 rounds in
+    practice (``max_iter`` caps pathological chains). Each round
+    localCheckpoints the label frame: at 10¹² scale the lineage would
+    otherwise grow per-iteration and replan from the raw pairs every
+    round. The driver sees one count per round (convergence check), never
+    row data.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def embedding_near_duplicates(
     emb_df: DataFrame,
     id_col: str = "vec_id",

@@ -490,3 +490,21 @@ def test_pack_sequences_invariants(spark):
     got = {r["doc_id"]: (r["shard"], r["pack_id"], r["pack_offset"])
            for r in out}
     assert got == expected
+
+
+def test_duplicate_clusters_transitive(spark):
+    """Transitive chains collapse into one component labeled by min id;
+    disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # chain 1-2-3-4
+        10: 10, 11: 10,                   # isolated pair
+        20: 20, 21: 20, 22: 20,           # triangle
+    }
