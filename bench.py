@@ -41,10 +41,14 @@ def timed(fn):
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # small-sf inputs are single-digit-MB parquet files — default 128MB
+    # splits would scan them on one core (a production table has thousands
+    # of real splits); 2MB splits give every query balanced parallelism
     spark = build_session(
         app_name="dce-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024)},
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
 

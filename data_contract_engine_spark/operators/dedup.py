@@ -325,8 +325,13 @@ def minhash_near_duplicates(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
     cand = lsh_candidates(sigs, bands, rows_per_band)
-    # verify only candidate pairs: semi-join the raw docs down first, then
-    # shingle just the candidate subset
+    # verify only candidate pairs, and WITHOUT the explode/self-join shape
+    # of standalone jaccard_pairs: each candidate doc's distinct-shingle
+    # ARRAY is one projection, and per-pair jaccard is array_intersect on
+    # the two arrays — one semi-join + two joins on the (small) candidate
+    # relation, no shingle shuffle at all. Candidate docs ≈ near-dup
+    # cluster members, so the arrays stay doc-sized and the joined
+    # relation stays pair-sized.
     ids = cand.select(F.col("id_a").alias("id")).union(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
@@ -335,8 +340,25 @@ def minhash_near_duplicates(
         id_col,
         "left_semi",
     )
-    pairs = jaccard_pairs(sub, id_col, text_col, k, threshold, max_shingle_freq)
-    return pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    if max_shingle_freq is not None:
+        # frequency capping needs the corpus-wide shingle relation — fall
+        # back to the explode-join verify on the candidate subset
+        pairs = jaccard_pairs(
+            sub, id_col, text_col, k, threshold, max_shingle_freq
+        )
+        return pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    sets = sub.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("ss"),
+    )
+    a = sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ssa"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ssb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("ssa"), F.col("ssb")))
+    jac = inter / (F.size("ssa") + F.size("ssb") - inter)
+    return joined.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def _portable_token_hash() -> Column:
