@@ -262,8 +262,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs. The stop-shingle cap is explicitly
+    opted out here so the query's semantics equal the oracle's uncapped
+    spec at ANY scale factor (the library default keeps the conservative
+    skew guard; the gate pins the exact math)."""
     d = _read(spark, sf_dir, "documents")
-    p = dedup.jaccard_pairs(d, k=3, threshold=0.8)
+    p = dedup.jaccard_pairs(d, k=3, threshold=0.8, max_shingle_freq=None)
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -715,7 +719,8 @@ def _simhash_oracle() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
   FROM documents
 ), hashed AS (
   SELECT doc_id,

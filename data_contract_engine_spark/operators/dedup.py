@@ -31,8 +31,6 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-TOKEN_SPLIT = r"\s+"
-
 
 def content_digest(text: Column) -> Column:
     """Stable content hash for exact dedup (md5 hex, portable to SQL oracles)."""
@@ -81,18 +79,22 @@ def exact_dedup(
 
 
 def tokens(text: Column) -> Column:
-    return F.split(F.trim(text), TOKEN_SPLIT)
+    """Whitespace tokens, empty strings dropped — shared with textstats
+    (one tokenizer across shingles, grams, token counts and the SQL
+    oracles, which all filter empties)."""
+    from .textstats import ws_tokens
+
+    return ws_tokens(text)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of distinct k-word shingles of ``text`` (space-joined)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(sh)
+    """Array of DISTINCT k-word shingles of ``text`` (space-joined).
+    Set semantics over :func:`textstats.word_grams` (one gram builder);
+    docs with fewer than k words produce no shingles — matching the
+    oracle's positional self-join exactly."""
+    from .textstats import word_grams
+
+    return F.array_distinct(word_grams(text, k))
 
 
 def shingle_table(
@@ -474,19 +476,19 @@ def duplicate_clusters(
     per cluster"), where transitive matches (A~B, B~C but not A~C) must
     land in one group.
 
-    Algorithm: iterative min-label propagation — each round every vertex
-    takes the min label among itself and its neighbors (two shuffles per
-    round: edge-label join + per-vertex min). Rounds needed = component
-    diameter; near-dup clusters are near-cliques, so 2-4 rounds in
-    practice (``max_iter`` caps pathological chains). Each round
-    localCheckpoints the label frame: at 10¹² scale the lineage would
-    otherwise grow per-iteration and replan from the raw pairs every
-    round. The driver sees one count per round (convergence check), never
-    row data.
+    Algorithm: min-label propagation with pointer jumping — each round
+    every vertex takes the min label among itself and its neighbors, then
+    additionally adopts its label's OWN label (l(x) ← min(l(x), l(l(x))),
+    the classic shortcut), so convergence needs O(log diameter) rounds,
+    not O(diameter). Ids keep their native type (string keys work; no
+    silent long cast). Each round localCheckpoints the label frame: at
+    10¹² scale the lineage would otherwise grow per-iteration and replan
+    from the raw pairs every round. The driver sees one count per round
+    (convergence check), never row data. If ``max_iter`` rounds are not
+    enough (diameter > 2^max_iter — pathological), the function RAISES
+    instead of returning inconsistent labels.
     """
-    edges = pairs.select(
-        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
-    )
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -502,12 +504,22 @@ def duplicate_clusters(
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        half = labels.join(nbr_min, labels["id"] == nbr_min["u"], "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias(
+                "lbl"
+            ),
+        )
+        # pointer jump: follow the label one hop (l(l(x))) and take the min
+        parent = half.select(
+            F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            half.join(parent, half["lbl"] == parent["pid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                    F.col("lbl"), F.coalesce("plbl", F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint(eager=True)
@@ -520,8 +532,11 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select("id", F.col("lbl").alias("cluster_id"))
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds "
+        "(component diameter exceeds 2^max_iter); raise max_iter"
+    )
 
 
 def embedding_near_duplicates(
@@ -552,29 +567,38 @@ def embedding_near_duplicates(
     from .similarity import cosine, hyperplane_band_buckets
 
     if dim is None:
+        # one tiny driver job at build time; pass dim explicitly to avoid
         first = emb_df.select(vec_col).first()
         dim = len(first[0]) if first and first[0] is not None else 64
     with_b = emb_df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(
             hyperplane_band_buckets(
                 F.col(vec_col), planes=planes, bands=bands, seed=seed, dim=dim
             )
         ).alias("band", "bucket"),
     )
-    a = with_b.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
-    )
-    b = with_b.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
-    )
+    a = with_b.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = with_b.select(F.col("id").alias("id_b"), "band", "bucket")
+    # dedup multi-band collisions on BARE id pairs, then join each side's
+    # vector back exactly once — shuffling two wide arrays per duplicate
+    # candidate through the distinct would move ~bands× more data
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs.select(
+    vecs = emb_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    joined = (
+        pairs.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        ).join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+    )
+    return joined.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -168,8 +168,8 @@ def encode_bmp(rows) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """(n_channels, sample_rate, n_frames, frames bytes) via the stdlib
-    ``wave`` module."""
+    """(n_channels, sample_rate, n_frames, sample_width_bytes, frames)
+    via the stdlib ``wave`` module."""
     import io
     import wave
 
@@ -178,6 +178,7 @@ def decode_wav(payload: bytes):
             w.getnchannels(),
             w.getframerate(),
             w.getnframes(),
+            w.getsampwidth(),
             w.readframes(w.getnframes()),
         )
 
@@ -202,8 +203,10 @@ def stdlib_media_decoder(
     elif mime == "audio/wav":
         import audioop  # stdlib (deprecated in 3.13 but present here)
 
-        ch, rate, nframes, frames = decode_wav(payload)
-        rms = float(audioop.rms(frames, 2)) if frames else 0.0
+        ch, rate, nframes, width, frames = decode_wav(payload)
+        # use the file's declared sample width — hardcoding 2 would
+        # misread 8/32-bit PCM (or crash on odd byte counts)
+        rms = float(audioop.rms(frames, width)) if frames else 0.0
         feats = [float(ch), float(rate), float(nframes), rms]
     else:
         return [float(x) for x in fake_features(payload, n)]

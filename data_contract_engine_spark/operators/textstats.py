@@ -208,8 +208,11 @@ def lang_id_ngram(
 
 
 def word_grams(text: Column, k: int = 2) -> Column:
-    """Overlapping k-word grams (NOT distinct — repetition analysis needs
-    multiplicity); fewer than k words → empty array."""
+    """Overlapping k-word grams with multiplicity (repetition analysis
+    needs duplicate grams; `dedup.word_shingles` wraps this in
+    array_distinct for set semantics — ONE gram builder for both). Fewer
+    than k words → empty array, matching the SQL oracles' positional
+    self-join, which likewise emits nothing for short docs."""
     toks = ws_tokens(text)
     n = F.size(toks)
     grams = F.transform(

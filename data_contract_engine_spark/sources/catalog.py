@@ -123,11 +123,15 @@ class IcebergCatalog(TableCatalog):
         sets = ", ".join(f"t.{c} = s.{c}" for c in columns if c not in keys)
         cols = ", ".join(columns)
         vals = ", ".join(f"s.{c}" for c in columns)
+        # every column a key → nothing to update; a bare "UPDATE SET"
+        # clause would be a parse error, and insert-if-absent is the
+        # correct upsert semantics for a key-presence table
+        matched = f"WHEN MATCHED THEN UPDATE SET {sets}\n" if sets else ""
         return (
             f"MERGE INTO {self.qualified(table)} t\n"
             f"USING {source_view} s\n"
             f"ON {on}\n"
-            f"WHEN MATCHED THEN UPDATE SET {sets}\n"
+            f"{matched}"
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
         )
 

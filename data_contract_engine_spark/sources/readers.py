@@ -96,6 +96,7 @@ _EXT_FORMATS = {
 
 SAMPLE_CSV_ROWS = 5     # reference file_handlers.py:68-73
 SAMPLE_JSONL_LINES = 10  # reference file_handlers.py:131-141
+JSON_FULL_PARSE_MAX_BYTES = 8 * 1024 * 1024
 
 
 def validate_format(path: str, file_format: Optional[str] = None) -> bool:
@@ -105,7 +106,15 @@ def validate_format(path: str, file_format: Optional[str] = None) -> bool:
     read, so a mislabeled file fails at submit time instead of minutes
     into the scan. Applies to local files only — directories and remote
     URIs return True and rely on the readers' PERMISSIVE / corrupt-record
-    handling."""
+    handling.
+
+    Positional asymmetry (reference parity): a corrupt line INSIDE the
+    sample window fails validation even though the PERMISSIVE reader
+    would have counted-and-dropped it, while one past the window is
+    handled by the reader — the reference's sample check behaves the same
+    way (`file_handlers.py:131-141`). Pass ``validate=False`` to
+    ``read_source`` (or call ``read_jsonl`` directly) when corrupt lines
+    are expected input rather than a mislabeled file."""
     import json
     import os
 
@@ -118,10 +127,21 @@ def validate_format(path: str, file_format: Optional[str] = None) -> bool:
 
             pd.read_csv(path, nrows=SAMPLE_CSV_ROWS)
         elif fmt == "json":
-            with open(path, "r", encoding="utf-8") as f:
-                data = json.load(f)
-            if not isinstance(data, (dict, list)):
-                return False
+            # whole-document format: fully parse only small files (the
+            # reference loads the whole file, but that is exactly the
+            # driver-side cost this check exists to avoid); large files
+            # get a structural sniff of the first non-space byte and rely
+            # on Spark's own parse for the rest
+            if os.path.getsize(path) <= JSON_FULL_PARSE_MAX_BYTES:
+                with open(path, "r", encoding="utf-8") as f:
+                    data = json.load(f)
+                if not isinstance(data, (dict, list)):
+                    return False
+            else:
+                with open(path, "r", encoding="utf-8") as f:
+                    head = f.read(4096).lstrip()
+                if not head or head[0] not in "{[":
+                    return False
         elif fmt == "jsonl":
             with open(path, "r", encoding="utf-8") as f:
                 for i, line in enumerate(f):

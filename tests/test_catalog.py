@@ -125,3 +125,13 @@ def test_iceberg_sql_generation_pinned(spark):
         "CALL local.system.expire_snapshots(table => 'dce.results', "
         "older_than => TIMESTAMP '2026-01-01 00:00:00', retain_last => 5)"
     )
+
+
+def test_iceberg_merge_sql_key_only_table(spark):
+    """All columns are keys → no UPDATE SET clause (a bare one is a parse
+    error); the upsert degenerates to insert-if-absent, matching the
+    ParquetCatalog's behavior for key-presence tables."""
+    cat = IcebergCatalog(spark, catalog="local", namespace="dce")
+    sql = cat.merge_sql("seen", "src", keys=("k",), columns=("k",))
+    assert "UPDATE SET" not in sql
+    assert "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)" in sql

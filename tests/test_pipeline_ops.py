@@ -508,3 +508,34 @@ def test_duplicate_clusters_transitive(spark):
         10: 10, 11: 10,                   # isolated pair
         20: 20, 21: 20, 22: 20,           # triangle
     }
+
+
+def test_duplicate_clusters_string_ids(spark):
+    """Ids keep their native type — string keys must not be silently cast
+    (a long cast would NULL every vertex and collapse all clusters)."""
+    pairs = spark.createDataFrame(
+        [("conv_a", "conv_b"), ("conv_b", "conv_c"), ("doc_x", "doc_y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        "conv_a": "conv_a", "conv_b": "conv_a", "conv_c": "conv_a",
+        "doc_x": "doc_x", "doc_y": "doc_x",
+    }
+
+
+def test_duplicate_clusters_long_chain_pointer_jumping(spark):
+    """A 40-hop chain converges well inside max_iter thanks to pointer
+    jumping (plain propagation would need diameter rounds and previously
+    returned inconsistent labels silently)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, max_iter=8).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 41
