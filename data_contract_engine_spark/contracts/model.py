@@ -117,7 +117,9 @@ class QualityRules:
     uniqueness: {"fields": [str | list[str]]} — a list entry is a composite key
         (extension; the reference only supports independent single fields,
         `app/core/quality_validator.py:157-182`).
-    statistics: {field: {"mean": {"min","max"}, "std_dev": {"max"}}}
+    statistics: {field: {"mean": {"min","max"}, "std_dev": {"max"},
+        "distinct_count": {"min","max"}}} — cardinality bounds are an
+        extension (approx_count_distinct sketch in the fused agg).
     referential: {field: {"values": [...]} | {"table": name, "column": c}}
         (extension of enum-as-membership, SURVEY.md §2.4 J2).
     drift: {field: {"metric": "psi"|"kl", "threshold": float, "bins": int}}

@@ -148,8 +148,18 @@ def build_quality_agg_exprs(
             )
 
     if rules.statistics:
-        for c in rules.statistics:
-            if c not in schema_by_name or not _is_numeric(schema_by_name[c]):
+        for c, constraints in rules.statistics.items():
+            if c not in schema_by_name:
+                continue
+            # cardinality bounds (extension): HLL++ sketch — mergeable, so
+            # it rides the same single-pass agg (any column type)
+            if isinstance(constraints, dict) and constraints.get(
+                "distinct_count"
+            ):
+                exprs.append(
+                    F.approx_count_distinct(F.col(c)).alias(f"__adc__{c}")
+                )
+            if not _is_numeric(schema_by_name[c]):
                 continue
             v = F.col(c).cast("double")
             exprs.append(F.mean(v).alias(f"__mean__{c}"))
@@ -262,6 +272,37 @@ def decode_quality_row(
 
     if rules.statistics:
         for col, constraints in rules.statistics.items():
+            dc = (
+                constraints.get("distinct_count", {})
+                if isinstance(constraints, dict)
+                else {}
+            )
+            adc = row.get(f"__adc__{col}")
+            if adc is not None and dc:
+                if "min" in dc and adc < dc["min"]:
+                    errors.append(
+                        QualityError(
+                            rule_type="STATISTICS",
+                            message=(
+                                f"Field '{col}' has ~{adc} distinct values, "
+                                f"below minimum {dc['min']}"
+                            ),
+                            severity=SEVERITY_WARNING,
+                            details={"field": col, "distinct_count": adc},
+                        )
+                    )
+                if "max" in dc and adc > dc["max"]:
+                    errors.append(
+                        QualityError(
+                            rule_type="STATISTICS",
+                            message=(
+                                f"Field '{col}' has ~{adc} distinct values, "
+                                f"exceeds maximum {dc['max']}"
+                            ),
+                            severity=SEVERITY_WARNING,
+                            details={"field": col, "distinct_count": adc},
+                        )
+                    )
             mean = row.get(f"__mean__{col}")
             std = row.get(f"__stdpop__{col}")
             if mean is None or (isinstance(mean, float) and math.isnan(mean)):

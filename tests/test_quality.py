@@ -252,3 +252,30 @@ schema:
     assert rep.errors_summary == {"REQUIRED_FIELD_MISSING": 2}
     viol = run.violations().collect()
     assert all(r["field"] == "ghost" for r in viol)
+
+
+def test_statistics_distinct_count_bounds(spark):
+    """Cardinality bounds (extension): approx_count_distinct sketch rides
+    the fused agg; works on non-numeric columns; WARNING severity like the
+    other statistics checks. Exact at tiny cardinalities."""
+    rows = [("a", 1.0, _ts(0)), ("a", 2.0, _ts(0)), ("b", 3.0, _ts(0))]
+    rep = _run(
+        spark, rows, {"statistics": {"id": {"distinct_count": {"min": 5}}}}
+    )
+    q = rep.quality
+    assert q.passed  # warning only
+    assert q.errors[0].rule_type == "STATISTICS"
+    assert q.errors[0].message == (
+        "Field 'id' has ~2 distinct values, below minimum 5"
+    )
+
+    rep = _run(
+        spark, rows,
+        {"statistics": {"id": {"distinct_count": {"min": 1, "max": 10}}}},
+    )
+    assert rep.quality.passed and not rep.quality.errors
+
+    rep = _run(
+        spark, rows, {"statistics": {"id": {"distinct_count": {"max": 1}}}}
+    )
+    assert "exceeds maximum 1" in rep.quality.errors[0].message
