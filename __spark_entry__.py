@@ -185,6 +185,24 @@ def q_drift_psi(spark, sf_dir):
     )
 
 
+def q_drift_psi_categorical(spark, sf_dir):
+    """Categorical drift: PSI/KL over the role frequency distribution,
+    even- vs odd-numbered conversations — the enum-field drift check
+    (numeric binning is meaningless for role/tool). Bucket space fixed by
+    the baseline's categories; same epsilon arithmetic as the numeric
+    oracle."""
+    tr = _transcripts(spark, sf_dir)
+    parity = F.pmod(F.substring("conv_id", 6, 18).cast("long"), F.lit(2))
+    s = drift.psi_kl_categorical(
+        tr.filter(parity == 1), tr.filter(parity == 0), "role", top_k=10
+    )
+    return spark.createDataFrame(
+        [(s.column, round(float(s.psi), 6), round(float(s.kl), 6),
+          int(s.bins))],
+        "column string, psi double, kl double, bins int",
+    )
+
+
 def q_daily_rollup(spark, sf_dir):
     run = _flagship_run(spark, sf_dir)
     return (
@@ -537,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_bounds": q_freshness,
         "drift_histogram_textlen": q_drift_histogram,
         "drift_psi_textlen": q_drift_psi,
+        "drift_psi_categorical": q_drift_psi_categorical,
         "daily_rollup": q_daily_rollup,
         "tpch_pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -891,6 +910,32 @@ FROM salted
 """
 
 
+def _drift_psi_cat_oracle() -> str:
+    """Categorical twin of :func:`_drift_psi_oracle`: buckets are the role
+    values themselves (PSI/KL only see counts, never bucket names, so the
+    arithmetic is identical)."""
+    p = f"((c + {_EPS}) / (sc + {_EPS} * nb))"
+    q = f"((b + {_EPS}) / (sb + {_EPS} * nb))"
+    return (
+        _T
+        + f"""
+, h AS (
+  SELECT role AS bin,
+         sum(CASE WHEN (substring(conv_id, 6)::BIGINT % 2) = 1
+             THEN 1 ELSE 0 END)::DOUBLE AS c,
+         sum(CASE WHEN (substring(conv_id, 6)::BIGINT % 2) = 0
+             THEN 1 ELSE 0 END)::DOUBLE AS b
+  FROM transcripts WHERE role IS NOT NULL GROUP BY role
+), s AS (SELECT sum(c) AS sc, sum(b) AS sb, count(*) AS nb FROM h)
+SELECT 'role' AS "column",
+       round(sum(({p} - {q}) * ln({p} / {q})), 6) AS psi,
+       round(sum({p} * ln({p} / {q})), 6) AS kl,
+       max(nb)::INT AS bins
+FROM h, s
+"""
+    )
+
+
 _MEDIA_FEATURES_SQL = """
 WITH h AS (
   SELECT doc_id,
@@ -1051,6 +1096,7 @@ FROM documents
         "ann_lsh_top10": _ann_lsh_oracle(),
         "ivf_ann_top10": _ivf_oracle(),
         "drift_psi_textlen": _drift_psi_oracle(hist_case),
+        "drift_psi_categorical": _drift_psi_cat_oracle(),
         "media_features_pandas": _MEDIA_FEATURES_SQL,
         "repetition_features": _REPETITION_SQL,
         "pii_redaction": _pii_oracle(),

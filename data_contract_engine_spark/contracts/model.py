@@ -122,7 +122,9 @@ class QualityRules:
         extension (approx_count_distinct sketch in the fused agg).
     referential: {field: {"values": [...]} | {"table": name, "column": c}}
         (extension of enum-as-membership, SURVEY.md §2.4 J2).
-    drift: {field: {"metric": "psi"|"kl", "threshold": float, "bins": int}}
+    drift: {field: {"metric": "psi"|"kl", "threshold": float, "bins": int,
+        "type": "categorical" for enum-ish fields (buckets = baseline's
+        top-k categories + __other__ instead of numeric quantile edges)}}
         (extension, SURVEY.md §2.3 A16).
     """
 

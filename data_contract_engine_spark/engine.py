@@ -143,35 +143,46 @@ class ValidationRun:
         )
 
     def _drift_prep(self):
-        """(drift_exprs, drift_edges, base_bins): a precomputed snapshot
-        costs ZERO jobs; a baseline DataFrame costs two (edges + histogram)
-        — production snapshots once at baseline creation
-        (drift_op.baseline_snapshot)."""
+        """(drift_exprs, drift_edges, drift_cats, base_bins): a precomputed
+        snapshot costs ZERO jobs; a baseline DataFrame costs two (edges +
+        histogram) — production snapshots once at baseline creation
+        (drift_op.baseline_snapshot). Columns whose drift spec declares
+        ``type: categorical`` use the baseline's category set as the bucket
+        space (+ an ``__other__`` bucket) instead of numeric bin edges."""
         rules = self.contract.quality
         drift_exprs: Dict[str, str] = {}
         drift_edges: Dict[str, list] = {}
+        drift_cats: Dict[str, list] = {}
         base_bins: Dict[str, list] = {}
         if rules.drift:
             drift_exprs = {
                 col: spec.get("expr") or col
                 for col, spec in rules.drift.items()
             }
+            cat_cols = [
+                c for c, spec in rules.drift.items()
+                if spec.get("type") == "categorical"
+            ]
             snapshot = self.engine.drift_baseline_snapshot
             if snapshot is None and self.engine.drift_baseline is not None:
                 bins = max(
                     spec.get("bins", 10) for spec in rules.drift.values()
                 )
                 snapshot = drift_op.baseline_snapshot(
-                    self.engine.drift_baseline, drift_exprs, bins
+                    self.engine.drift_baseline, drift_exprs, bins,
+                    categorical=cat_cols,
                 )
             if snapshot:
                 drift_edges = {
                     c: s["edges"] for c, s in snapshot.items() if s.get("edges")
                 }
+                drift_cats = {
+                    c: s["cats"] for c, s in snapshot.items() if s.get("cats")
+                }
                 base_bins = {c: s["counts"] for c, s in snapshot.items()}
-        return drift_exprs, drift_edges, base_bins
+        return drift_exprs, drift_edges, drift_cats, base_bins
 
-    def _agg_exprs(self, drift_exprs, drift_edges) -> List:
+    def _agg_exprs(self, drift_exprs, drift_edges, drift_cats) -> List:
         """All fused-pass aggregate expressions: verdict counters +
         error-type counts (finite taxonomy — the batch error summary needs
         no second scan) + quality aggs + drift current-histograms."""
@@ -218,6 +229,10 @@ class ValidationRun:
             quality_exprs += drift_op.multi_histogram_exprs(
                 drift_edges, drift_exprs
             )
+        if drift_cats:
+            quality_exprs += drift_op.categorical_histogram_exprs(
+                drift_cats, drift_exprs
+            )
         return agg_exprs + quality_exprs
 
     def report(self, sample_errors: int = 50) -> BatchReport:
@@ -230,12 +245,12 @@ class ValidationRun:
         if self._report is not None:
             return self._report
         t0 = time.time()
-        drift_exprs, drift_edges, base_bins = self._drift_prep()
-        exprs = self._agg_exprs(drift_exprs, drift_edges)
+        drift_exprs, drift_edges, drift_cats, base_bins = self._drift_prep()
+        exprs = self._agg_exprs(drift_exprs, drift_edges, drift_cats)
         # run over the validated frame (it carries the source columns)
         agg_row = self.validated.agg(*exprs).collect()[0].asDict()
         self._report = self._finish_report(
-            agg_row, drift_edges, base_bins, t0, sample_errors
+            agg_row, drift_edges, drift_cats, base_bins, t0, sample_errors
         )
         return self._report
 
@@ -253,8 +268,8 @@ class ValidationRun:
         from pyspark.sql import Observation
 
         t0 = time.time()
-        drift_exprs, drift_edges, base_bins = self._drift_prep()
-        exprs = self._agg_exprs(drift_exprs, drift_edges)
+        drift_exprs, drift_edges, drift_cats, base_bins = self._drift_prep()
+        exprs = self._agg_exprs(drift_exprs, drift_edges, drift_cats)
         obs = Observation(f"contract:{self.contract.name}")
         observed = self.validated.observe(obs, *exprs)
         run_like = ValidationRun(
@@ -272,12 +287,12 @@ class ValidationRun:
         )
         agg_row = dict(obs.get)
         self._report = self._finish_report(
-            agg_row, drift_edges, base_bins, t0, sample_errors
+            agg_row, drift_edges, drift_cats, base_bins, t0, sample_errors
         )
         return self._report
 
     def _finish_report(
-        self, agg_row, drift_edges, base_bins, t0, sample_errors
+        self, agg_row, drift_edges, drift_cats, base_bins, t0, sample_errors
     ) -> BatchReport:
         rules = self.contract.quality
         ec = self.compiled.options.errors_column
@@ -322,7 +337,9 @@ class ValidationRun:
             qerrors = decode_quality_row(agg_row, rules, now_epoch=self._now())
             qerrors += self._uniqueness_errors()
             qerrors += self._referential_table_errors()
-            qerrors += self._drift_errors_fused(agg_row, drift_edges, base_bins)
+            qerrors += self._drift_errors_fused(
+                agg_row, drift_edges, drift_cats, base_bins
+            )
             # reference rule order (quality_validator.py:63-75): freshness →
             # completeness → uniqueness → statistics; extensions follow
             order = {
@@ -459,19 +476,25 @@ class ValidationRun:
         self,
         agg_row: Dict[str, Any],
         drift_edges: Dict[str, list],
+        drift_cats: Dict[str, list],
         base_bins: Dict[str, list],
     ) -> List[QualityError]:
         """Score drift from the fused current-histogram counts in
         ``agg_row`` vs the baseline histogram: all columns in ONE
-        Arrow-batched applyInPandas job over the tiny histogram relation."""
+        Arrow-batched applyInPandas job over the tiny histogram relation.
+        Numeric columns bucket by quantile edges; categorical ones by the
+        baseline's category set (+ __other__) — same decode/score path."""
         rules = self.contract.quality
-        if not rules.drift or not drift_edges:
+        if not rules.drift or not (drift_edges or drift_cats):
             return []
         per_col = {}
         for column in rules.drift:
-            if column not in drift_edges:
+            if column in drift_edges:
+                n_bins = len(drift_edges[column]) + 1
+            elif column in drift_cats:
+                n_bins = len(drift_cats[column]) + 1
+            else:
                 continue
-            n_bins = len(drift_edges[column]) + 1
             cur = drift_op.decode_histogram_row(agg_row, column, n_bins)
             per_col[column] = (cur, base_bins[column])
         scores = drift_op.score_histograms_pandas(self.engine.spark, per_col)

@@ -133,6 +133,70 @@ def psi_kl(
     return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
 
 
+def categorical_histogram(
+    df: DataFrame, column: str, top_k: int = 100
+) -> DataFrame:
+    """(cat, cnt) over the column's values with a deterministic top-k cap:
+    the ``top_k`` most frequent categories (ties broken by value) keep
+    their own bucket, everything else rolls into ``__other__`` — bounding
+    the histogram relation regardless of column cardinality. One
+    hash-aggregate + a driver-side top-k list (≤ top_k values)."""
+    counts = (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(F.col(column).cast("string").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = [
+        r["cat"]
+        for r in counts.orderBy(F.desc("cnt"), "cat").limit(top_k).collect()
+    ]
+    return (
+        counts.withColumn(
+            "cat",
+            F.when(F.col("cat").isin(top), F.col("cat")).otherwise(
+                F.lit("__other__")
+            ),
+        )
+        .groupBy("cat")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def psi_kl_categorical(
+    current_df: DataFrame,
+    baseline_df: DataFrame,
+    column: str,
+    top_k: int = 100,
+) -> DriftScore:
+    """PSI/KL over a CATEGORICAL column's frequency distribution — the
+    drift check for enum-ish fields (role, tool, language, source) where
+    numeric binning is meaningless. The category set is fixed by the
+    BASELINE's top-k (current values outside it roll into ``__other__``,
+    so a brand-new category registers as drift instead of silently
+    changing the bucket space); the epsilon-smoothed scorer is shared
+    with the numeric path."""
+    base_h = categorical_histogram(baseline_df, column, top_k)
+    base_cats = [r["cat"] for r in base_h.select("cat").collect()]
+    cur_h = (
+        current_df.filter(F.col(column).isNotNull())
+        .groupBy(
+            F.when(
+                F.col(column).cast("string").isin(base_cats),
+                F.col(column).cast("string"),
+            )
+            .otherwise(F.lit("__other__"))
+            .alias("cat")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = psi_kl_from_histograms(
+        cur_h.withColumnRenamed("cat", "bin"),
+        base_h.withColumnRenamed("cat", "bin"),
+        column,
+    )
+    return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
+
+
 def bin_expr(value, edges: Sequence[float]):
     """CASE-chain bin id for one value expression (Column or SQL string);
     codegen-fused. Returns (bin_col, value_col)."""
@@ -184,6 +248,28 @@ def multi_histogram_exprs(edges_by_name: dict, exprs: dict) -> List:
                     F.when(v.isNotNull() & (b == i), 1).otherwise(0)
                 ).alias(f"__driftbin__{name}__{i}")
             )
+    return out
+
+
+def categorical_histogram_exprs(cats_by_name: dict, exprs: dict) -> List:
+    """Categorical twin of :func:`multi_histogram_exprs`: one count per
+    baseline category plus a final ``__other__`` bucket (index len(cats))
+    for values outside the baseline's category space — same
+    ``__driftbin__{name}__{i}`` aliases, so the decode path is shared."""
+    out = []
+    for name, cats in cats_by_name.items():
+        v = F.expr(exprs[name]).cast("string")
+        for i, cat in enumerate(cats):
+            out.append(
+                F.sum(F.when(v == F.lit(cat), 1).otherwise(0)).alias(
+                    f"__driftbin__{name}__{i}"
+                )
+            )
+        out.append(
+            F.sum(
+                F.when(v.isNotNull() & ~v.isin(list(cats)), 1).otherwise(0)
+            ).alias(f"__driftbin__{name}__{len(cats)}")
+        )
     return out
 
 
@@ -244,25 +330,52 @@ def score_histograms_pandas(
 
 
 def baseline_snapshot(
-    df: DataFrame, exprs: dict, bins: int = 10
+    df: DataFrame,
+    exprs: dict,
+    bins: int = 10,
+    categorical: Sequence[str] = (),
 ) -> dict:
-    """Precompute the drift baseline: {name: {"edges": [...], "counts": [...]}}.
+    """Precompute the drift baseline:
+    numeric columns → {name: {"edges": [...], "counts": [...]}},
+    ``categorical`` columns → {name: {"cats": [...], "counts": [...]}}
+    (top-``bins`` categories by frequency, last count = ``__other__``).
 
     Run ONCE when the baseline is established (e.g. when a contract
     version is activated) and persist the (tiny) result — per-run
     validation then needs zero baseline scans. ``exprs``: {name: sql_expr}.
     """
-    edges = {c: e for c, e in multi_quantile_edges(df, exprs, bins).items() if e}
-    if not edges:
+    numeric = {c: e for c, e in exprs.items() if c not in set(categorical)}
+    edges = {
+        c: e for c, e in multi_quantile_edges(df, numeric, bins).items() if e
+    } if numeric else {}
+    cats = {}
+    for c in categorical:
+        hist = categorical_histogram(
+            df.select(F.expr(exprs[c]).alias(c)), c, top_k=bins
+        ).collect()
+        ordered = sorted(
+            (r for r in hist if r["cat"] != "__other__"), key=lambda r: r["cat"]
+        )
+        cats[c] = [r["cat"] for r in ordered]
+    if not edges and not cats:
         return {}
-    row = df.agg(*multi_histogram_exprs(edges, exprs)).collect()[0].asDict()
-    return {
+    agg_exprs = multi_histogram_exprs(edges, exprs) + categorical_histogram_exprs(
+        cats, exprs
+    )
+    row = df.agg(*agg_exprs).collect()[0].asDict()
+    out = {
         c: {
             "edges": list(edges[c]),
             "counts": decode_histogram_row(row, c, len(edges[c]) + 1),
         }
         for c in edges
     }
+    for c in cats:
+        out[c] = {
+            "cats": list(cats[c]),
+            "counts": decode_histogram_row(row, c, len(cats[c]) + 1),
+        }
+    return out
 
 
 def psi_kl_exact(

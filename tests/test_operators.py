@@ -147,3 +147,32 @@ quality_rules:
     assert rep.quality is not None
     drift_errors = [e for e in rep.quality.errors if e.rule_type == "DRIFT"]
     assert drift_errors and drift_errors[0].details["psi"] > 0.1
+
+
+def test_categorical_drift_psi(spark):
+    """Categorical PSI: matches the exact driver-side arithmetic; a
+    brand-new category in current rolls into __other__ (the baseline
+    fixes the bucket space) and registers as drift."""
+    from data_contract_engine_spark.operators import drift
+
+    base = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20, "cat string"
+    )
+    cur_same = spark.createDataFrame(
+        [("a",)] * 25 + [("b",)] * 15 + [("c",)] * 10, "cat string"
+    )
+    s = drift.psi_kl_categorical(cur_same, base, "cat")
+    assert s.bins == 3 and abs(s.psi) < 1e-6  # identical proportions
+
+    cur_new = spark.createDataFrame(
+        [("a",)] * 10 + [("zzz",)] * 40, "cat string"
+    )
+    s2 = drift.psi_kl_categorical(cur_new, base, "cat")
+    # exact arithmetic twin: __other__ absorbs the unseen category
+    expected_psi, expected_kl = drift.psi_kl_exact(
+        # joined buckets sorted by name: __other__, a, b, c
+        [40, 10, 0, 0], [0, 50, 30, 20]
+    )
+    assert s2.psi == pytest.approx(expected_psi, rel=1e-9)
+    assert s2.kl == pytest.approx(expected_kl, rel=1e-9)
+    assert s2.psi > 1.0  # large shift

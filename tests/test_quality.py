@@ -279,3 +279,46 @@ def test_statistics_distinct_count_bounds(spark):
         spark, rows, {"statistics": {"id": {"distinct_count": {"max": 1}}}}
     )
     assert "exceeds maximum 1" in rep.quality.errors[0].message
+
+
+def test_categorical_drift_rule_in_contract(spark):
+    """drift: {col: {type: categorical}} buckets by the baseline's
+    category set (+__other__) instead of numeric edges, fused into the
+    same agg pass; unseen categories register as drift."""
+    base_rows = [("a", float(i), _ts(0), "x") for i in range(50)] + [
+        ("b", 1.0, _ts(0), "y")
+    ] * 50
+    cur_same = base_rows
+    cur_shifted = [("c", 1.0, _ts(0), "zzz")] * 80 + [
+        ("d", 1.0, _ts(0), "x")
+    ] * 20
+    ddl = "id string, value double, timestamp timestamp, cat string"
+    contract = contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {"id": {"type": "string"}},
+            "quality_rules": {
+                "drift": {
+                    "cat": {
+                        "type": "categorical",
+                        "metric": "psi",
+                        "threshold": 0.2,
+                    }
+                }
+            },
+        }
+    )
+
+    base = spark.createDataFrame(base_rows, ddl)
+    eng = ContractEngine(spark, now_epoch=NOW, drift_baseline=base)
+    rep = eng.validate(
+        spark.createDataFrame(cur_same, ddl), contract, key_columns=["id"]
+    ).report()
+    assert rep.quality.passed and not rep.quality.errors
+
+    rep2 = eng.validate(
+        spark.createDataFrame(cur_shifted, ddl), contract, key_columns=["id"]
+    ).report()
+    drift_errs = [e for e in rep2.quality.errors if e.rule_type == "DRIFT"]
+    assert drift_errs and drift_errs[0].details["psi"] > 0.2
+    assert "PSI" in drift_errs[0].message
