@@ -207,6 +207,33 @@ def cmd_textstats(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic hash-sampling job: reproducible, nested across rates,
+    repartition-stable — the dataset-subset primitive for ablations."""
+    import json as _json
+
+    from .operators import sampling
+
+    spark = build_session(app_name="dce-sample")
+    df = _read_table_or_path(spark, args.input, args.format)
+    if args.strata_col and args.strata_rates:
+        rates = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.strata_rates.split(","))
+        }
+        out = sampling.stratified_hash_sample(
+            df, rates, args.strata_col, args.key_col,
+            default_rate=args.rate, seed=args.seed,
+        )
+    else:
+        out = sampling.hash_sample(df, args.rate, args.key_col, seed=args.seed)
+    out.write.mode("overwrite").parquet(args.out)
+    kept = spark.read.parquet(args.out).count()
+    print(_json.dumps({"input_rows": df.count(), "kept_rows": kept}))
+    _stop(spark)
+    return 0
+
+
 def _read_table_or_path(spark: SparkSession, input_: str, fmt):
     if "/" in input_ or input_.endswith((".parquet", ".csv", ".json", ".jsonl")):
         return readers.read_source(spark, input_, fmt)
@@ -277,6 +304,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-set of quality,repetition,langid,pii")
     t.add_argument("--out", required=True)
     t.set_defaults(fn=cmd_textstats)
+
+    s = sub.add_parser("sample", help="deterministic hash sampling")
+    s.add_argument("--input", required=True)
+    s.add_argument("--format", default=None)
+    s.add_argument("--rate", type=float, default=0.1)
+    s.add_argument("--key-col", default="doc_id")
+    s.add_argument("--strata-col", default=None)
+    s.add_argument("--strata-rates", default=None,
+                   help="comma list value=rate, e.g. web=0.1,books=1.0")
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_sample)
     return p
 
 

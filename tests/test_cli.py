@@ -139,3 +139,32 @@ def test_dedup_and_textstats_commands(spark, tmp_path, capsys, monkeypatch):
     assert feats[2]["n_email"] == 1
     assert feats[2]["top_gram_fraction"] is not None
     assert feats[0]["pred_lang"] == "en"
+
+
+def test_sample_command(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    docs = spark.createDataFrame(
+        [(i, "t%d" % i, "s%d" % (i % 2)) for i in range(500)],
+        "doc_id long, text string, src string",
+    )
+    src = str(tmp_path / "d.parquet")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "sampled")
+    rc = cli.main(["sample", "--input", src, "--rate", "0.2", "--out", out])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input_rows"] == 500 and 50 < rep["kept_rows"] < 150
+
+    # stratified: drop s0 entirely, keep all s1
+    out2 = str(tmp_path / "strat")
+    rc = cli.main([
+        "sample", "--input", src, "--strata-col", "src",
+        "--strata-rates", "s0=0.0,s1=1.0", "--out", out2,
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out2)
+    assert got.count() == 250
+    assert {r["src"] for r in got.select("src").distinct().collect()} == {"s1"}

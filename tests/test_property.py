@@ -272,3 +272,43 @@ def test_pii_redaction_matches_python_re(spark):
             assert got[i]["text_redacted"] == expected_red, t
 
     check()
+
+
+def test_repetition_features_match_python(spark):
+    """Differential vs a pure-Python reimplementation on random word
+    sequences: gram multiplicity, dup fraction and top fraction must agree
+    exactly (rounding included)."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_contract_engine_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    words = st.sampled_from(["a", "b", "c", "dd", "e"])
+    texts = st.lists(words, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(texts, min_size=1, max_size=6))
+    def check(batch):
+        rows = [(i, t) for i, t in enumerate(batch)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_features(df, k=2).collect()}
+        for i, t in rows:
+            toks = t.split()
+            grams = [
+                " ".join(toks[j: j + 2]) for j in range(len(toks) - 1)
+            ]
+            if not grams:
+                assert i not in got
+                continue
+            c = Counter(grams)
+            n = len(grams)
+            rep = sum(v for v in c.values() if v > 1)
+            assert got[i]["n_grams"] == n
+            assert got[i]["distinct_grams"] == len(c)
+            assert got[i]["dup_gram_fraction"] == round(rep / n, 4)
+            assert got[i]["top_gram_fraction"] == round(max(c.values()) / n, 4)
+
+    check()
