@@ -210,17 +210,29 @@ def cmd_textstats(args) -> int:
 def cmd_sample(args) -> int:
     """Deterministic hash-sampling job: reproducible, nested across rates,
     repartition-stable — the dataset-subset primitive for ablations."""
-    import json as _json
-
     from .operators import sampling
 
+    if bool(args.strata_col) != bool(args.strata_rates):
+        print(
+            "error: --strata-col and --strata-rates must be given together",
+            file=sys.stderr,
+        )
+        return 2
     spark = build_session(app_name="dce-sample")
     df = _read_table_or_path(spark, args.input, args.format)
-    if args.strata_col and args.strata_rates:
-        rates = {
-            k: float(v)
-            for k, v in (kv.split("=") for kv in args.strata_rates.split(","))
-        }
+    if args.strata_col:
+        rates = {}
+        for kv in args.strata_rates.split(","):
+            key, sep, val = kv.partition("=")
+            if not sep or not key:
+                print(
+                    f"error: bad --strata-rates entry {kv!r} "
+                    "(expected value=rate)",
+                    file=sys.stderr,
+                )
+                _stop(spark)
+                return 2
+            rates[key] = float(val)
         out = sampling.stratified_hash_sample(
             df, rates, args.strata_col, args.key_col,
             default_rate=args.rate, seed=args.seed,
@@ -229,7 +241,7 @@ def cmd_sample(args) -> int:
         out = sampling.hash_sample(df, args.rate, args.key_col, seed=args.seed)
     out.write.mode("overwrite").parquet(args.out)
     kept = spark.read.parquet(args.out).count()
-    print(_json.dumps({"input_rows": df.count(), "kept_rows": kept}))
+    print(json.dumps({"input_rows": df.count(), "kept_rows": kept}))
     _stop(spark)
     return 0
 

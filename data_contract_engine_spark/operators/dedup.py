@@ -567,7 +567,8 @@ def embedding_near_duplicates(
     from .similarity import cosine, hyperplane_band_buckets
 
     if dim is None:
-        # one tiny driver job at build time; pass dim explicitly to avoid
+        # one tiny driver job at plan-build time; pass dim explicitly to
+        # avoid it (e.g. when only capturing the plan, or in tight loops)
         first = emb_df.select(vec_col).first()
         dim = len(first[0]) if first and first[0] is not None else 64
     with_b = emb_df.select(

@@ -174,10 +174,16 @@ def psi_kl_categorical(
     BASELINE's top-k (current values outside it roll into ``__other__``,
     so a brand-new category registers as drift instead of silently
     changing the bucket space); the epsilon-smoothed scorer is shared
-    with the numeric path."""
-    base_h = categorical_histogram(baseline_df, column, top_k)
-    base_cats = [r["cat"] for r in base_h.select("cat").collect()]
-    cur_h = (
+    with the numeric path. Job count: one baseline aggregate (collected —
+    it is ≤ top_k+1 rows), one current aggregate, and the PSI/KL
+    arithmetic runs driver-side over those tiny dicts (no join job, no
+    UDF job — the histograms already fit in the driver by construction)."""
+    base_counts = {
+        r["cat"]: r["cnt"]
+        for r in categorical_histogram(baseline_df, column, top_k).collect()
+    }
+    base_cats = [c for c in base_counts if c != "__other__"]
+    cur_rows = (
         current_df.filter(F.col(column).isNotNull())
         .groupBy(
             F.when(
@@ -188,13 +194,15 @@ def psi_kl_categorical(
             .alias("cat")
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     )
-    out = psi_kl_from_histograms(
-        cur_h.withColumnRenamed("cat", "bin"),
-        base_h.withColumnRenamed("cat", "bin"),
-        column,
+    cur_counts = {r["cat"]: r["cnt"] for r in cur_rows}
+    buckets = sorted(set(base_counts) | set(cur_counts))
+    psi, kl = psi_kl_exact(
+        [cur_counts.get(b, 0) for b in buckets],
+        [base_counts.get(b, 0) for b in buckets],
     )
-    return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
+    return DriftScore(column=column, psi=psi, kl=kl, bins=len(buckets))
 
 
 def bin_expr(value, edges: Sequence[float]):

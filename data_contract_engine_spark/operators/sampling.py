@@ -35,17 +35,32 @@ def portable_key_hash(key: Column, seed: int = 42) -> Column:
     return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
 
 
+def _null_guard(df: DataFrame, key_col: str, keep_cond, on_null: str):
+    """NULL keys hash to NULL and a bare filter would drop them SILENTLY
+    (even at rate 1.0) — make the policy explicit instead."""
+    key_null = F.col(key_col).isNull()
+    if on_null == "drop":
+        return df.filter(~key_null & keep_cond)
+    if on_null == "keep":
+        return df.filter(key_null | keep_cond)
+    raise ValueError(f"on_null must be 'drop' or 'keep', got {on_null!r}")
+
+
 def hash_sample(
     df: DataFrame,
     rate: float,
     key_col: str,
     seed: int = 42,
+    on_null: str = "drop",
 ) -> DataFrame:
     """Keep rows where hash(key) mod 10⁶ < rate·10⁶ — a deterministic,
     nested, repartition-stable sample. Pure filter: pushes to the scan,
-    zero shuffles."""
+    zero shuffles. Rows with a NULL key follow ``on_null`` ('drop', the
+    default, or 'keep') — never a silent hash-of-null drop."""
     h = F.pmod(portable_key_hash(F.col(key_col), seed), F.lit(HASH_SPACE))
-    return df.filter(h < F.lit(int(rate * HASH_SPACE)))
+    return _null_guard(
+        df, key_col, h < F.lit(int(rate * HASH_SPACE)), on_null
+    )
 
 
 def stratified_hash_sample(
@@ -55,9 +70,11 @@ def stratified_hash_sample(
     key_col: str,
     default_rate: float = 1.0,
     seed: int = 42,
+    on_null: str = "drop",
 ) -> DataFrame:
     """Per-stratum hash sampling: ``rates`` maps stratum value → keep
-    rate; unlisted strata keep ``default_rate``. One fused CASE filter."""
+    rate; unlisted strata keep ``default_rate``. One fused CASE filter.
+    NULL keys follow ``on_null`` like :func:`hash_sample`."""
     h = F.pmod(portable_key_hash(F.col(key_col), seed), F.lit(HASH_SPACE))
     threshold = None
     for value, rate in sorted(rates.items()):
@@ -71,7 +88,7 @@ def stratified_hash_sample(
         if threshold is None
         else threshold.otherwise(F.lit(int(default_rate * HASH_SPACE)))
     )
-    return df.filter(h < threshold)
+    return _null_guard(df, key_col, h < threshold, on_null)
 
 
 def pack_sequences(
@@ -96,20 +113,31 @@ def pack_sequences(
     sort size; the cut itself is a closed-form projection over the
     running token sum (no iterative bin state).
     """
+    clash = {"shard", "pack_id", "pack_offset", "__pack_order"} & set(
+        df.columns
+    )
+    if clash:
+        raise ValueError(
+            f"pack_sequences output columns collide with input: {sorted(clash)}"
+        )
     h = portable_key_hash(F.col(id_col), seed)
     out = df.select(
         "*",
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
-        h.alias("__order"),
+        h.alias("__pack_order"),
     )
-    w = Window.partitionBy("shard").orderBy("__order", id_col)
-    cum = F.sum(F.col(token_col)).over(
+    w = Window.partitionBy("shard").orderBy("__pack_order", id_col)
+    # running sums and pack ids stay LONG end to end: a shard's cumulative
+    # token count passes 2^31 early at real scale, and an int32 product
+    # (pack_id * budget) would wrap silently into negative offsets
+    cum = F.sum(F.col(token_col).cast("long")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # tokens before this doc in the shard stream decide where it starts
     prev_cum = cum - F.col(token_col)
-    pack_id = F.floor(prev_cum / F.lit(budget)).cast("int")
-    pack_offset = (prev_cum - pack_id * F.lit(budget)).cast("long")
+    budget_l = F.lit(budget).cast("long")
+    pack_id = F.floor(prev_cum / budget_l).cast("long")
+    pack_offset = (prev_cum - pack_id * budget_l).cast("long")
     return out.select(
         *[c for c in df.columns],
         "shard",

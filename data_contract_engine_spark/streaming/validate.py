@@ -115,7 +115,9 @@ def drift_monitor(
     on_scores: Callable[[int, dict], None],
 ) -> Callable[[DataFrame, int], None]:
     """Streaming drift: per-micro-batch PSI/KL vs a precomputed baseline
-    snapshot ({col: {edges, counts}} from ``drift.baseline_snapshot``).
+    snapshot ({col: {edges|cats, counts}} from ``drift.baseline_snapshot``
+    — numeric quantile bins AND categorical top-k buckets are both
+    scored, same as the batch engine).
 
     Each batch costs one fused histogram agg over the batch plus the tiny
     Arrow-scored histogram relation — the streaming analog of the batch
@@ -124,22 +126,21 @@ def drift_monitor(
     from ..operators import drift as drift_op
 
     edges = {c: s["edges"] for c, s in snapshot.items() if s.get("edges")}
+    cats = {c: s["cats"] for c, s in snapshot.items() if s.get("cats")}
     base = {c: s["counts"] for c, s in snapshot.items()}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not edges or not batch_df.take(1):
+        if not (edges or cats) or not batch_df.take(1):
             return
-        row = (
-            batch_df.agg(*drift_op.multi_histogram_exprs(edges, exprs))
-            .collect()[0]
-            .asDict()
-        )
+        agg_exprs = drift_op.multi_histogram_exprs(
+            edges, exprs
+        ) + drift_op.categorical_histogram_exprs(cats, exprs)
+        row = batch_df.agg(*agg_exprs).collect()[0].asDict()
+        n_bins = {c: len(e) + 1 for c, e in edges.items()}
+        n_bins.update({c: len(v) + 1 for c, v in cats.items()})
         per_col = {
-            c: (
-                drift_op.decode_histogram_row(row, c, len(edges[c]) + 1),
-                base[c],
-            )
-            for c in edges
+            c: (drift_op.decode_histogram_row(row, c, n), base[c])
+            for c, n in n_bins.items()
         }
         spark = batch_df.sparkSession
         on_scores(batch_id, drift_op.score_histograms_pandas(spark, per_col))

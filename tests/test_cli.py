@@ -168,3 +168,12 @@ def test_sample_command(spark, tmp_path, capsys, monkeypatch):
     got = spark.read.parquet(out2)
     assert got.count() == 250
     assert {r["src"] for r in got.select("src").distinct().collect()} == {"s1"}
+
+
+def test_sample_command_strata_validation(tmp_path, capsys):
+    rc = cli.main([
+        "sample", "--input", "x.parquet", "--strata-col", "src",
+        "--out", str(tmp_path / "o"),
+    ])
+    assert rc == 2
+    assert "must be given together" in capsys.readouterr().err

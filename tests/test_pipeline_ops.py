@@ -539,3 +539,42 @@ def test_duplicate_clusters_long_chain_pointer_jumping(spark):
         for r in dedup.duplicate_clusters(pairs, max_iter=8).collect()
     }
     assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_hash_sample_null_key_policy(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "doc_id long, text string"
+    )
+    # rate 1.0: 'drop' still excludes the null key (explicitly), 'keep'
+    # retains it — never a silent hash-of-null drop
+    assert sampling.hash_sample(d, 1.0, "doc_id").count() == 2
+    assert sampling.hash_sample(d, 1.0, "doc_id", on_null="keep").count() == 3
+    kept = sampling.stratified_hash_sample(
+        d, {}, "text", "doc_id", default_rate=1.0, on_null="keep"
+    )
+    assert kept.count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="on_null"):
+        sampling.hash_sample(d, 1.0, "doc_id", on_null="explode")
+
+
+def test_pack_sequences_long_safe_and_collision_guard(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    # cumulative counts past 2^31 must not wrap (pack_id/product stay long)
+    big = spark.createDataFrame(
+        [(i, 1_500_000_000) for i in range(4)], "doc_id long, n int"
+    )
+    out = sampling.pack_sequences(big, budget=1000, token_col="n", n_shards=1)
+    rows = sorted(out.collect(), key=lambda r: r["pack_id"])
+    assert all(r["pack_id"] >= 0 and 0 <= r["pack_offset"] < 1000 for r in rows)
+    assert rows[-1]["pack_id"] == 4_500_000  # 3*1.5e9 / 1000
+
+    import pytest as _pytest
+
+    clash = spark.createDataFrame([(1, 2, 3)], "doc_id long, n int, shard int")
+    with _pytest.raises(ValueError, match="collide"):
+        sampling.pack_sequences(clash, budget=10, token_col="n")
