@@ -166,6 +166,18 @@ def cmd_dedup(args) -> int:
             )
         pairs.write.mode("overwrite").parquet(args.out)
         summary["duplicate_pairs"] = spark.read.parquet(args.out).count()
+        if args.clusters_out:
+            # pairs -> transitive dedup groups (connected components);
+            # read the just-written pairs so clustering doesn't recompute
+            # the whole LSH pipeline per label-propagation round
+            clusters = dedup_op.duplicate_clusters(
+                spark.read.parquet(args.out)
+            )
+            clusters.write.mode("overwrite").parquet(args.clusters_out)
+            summary["clusters"] = (
+                spark.read.parquet(args.clusters_out)
+                .select("cluster_id").distinct().count()
+            )
     print(json.dumps(summary))
     _stop(spark)
     return 0
@@ -305,6 +317,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--threshold", type=float, default=0.8)
     d.add_argument("--max-hamming", type=int, default=3)
     d.add_argument("--out", required=True)
+    d.add_argument("--clusters-out", default=None,
+                   help="also write (id, cluster_id) connected components")
     d.set_defaults(fn=cmd_dedup)
 
     t = sub.add_parser("textstats", help="per-document text features")

@@ -177,3 +177,32 @@ def test_sample_command_strata_validation(tmp_path, capsys):
     ])
     assert rc == 2
     assert "must be given together" in capsys.readouterr().err
+
+
+def test_dedup_clusters_output(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog now"),
+            (3, "completely different text about spark and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "cd.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "pairs")
+    cl = str(tmp_path / "clusters")
+    rc = cli.main([
+        "dedup", "--input", src, "--method", "minhash",
+        "--threshold", "0.6", "--out", out, "--clusters-out", cl,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["clusters"] == 1  # 0,1,2 form one transitive group
+    got = {r["id"]: r["cluster_id"]
+           for r in spark.read.parquet(cl).collect()}
+    assert got == {0: 0, 1: 0, 2: 0}
