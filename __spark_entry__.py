@@ -461,6 +461,17 @@ def q_hash_sample(spark, sf_dir):
     return sampling.hash_sample(d, 0.25, "doc_id").select("doc_id")
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Stratified hash sampling: per-language keep rates over documents
+    (downsample English, keep all Spanish, 10% default) — the oracle
+    replays the portable hash + CASE threshold exactly."""
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.stratified_hash_sample(
+        d, {"en": 0.5, "es": 1.0}, "lang", "doc_id", default_rate=0.1
+    )
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-then-chunk sequence packing over per-doc token counts:
     per-shard deterministic order + window cumsum → (shard, pack_id,
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": q_repetition,
         "pii_redaction": q_pii_redaction,
         "hash_sample_docs": q_hash_sample,
+        "stratified_sample_by_lang": q_stratified_sample,
         "pack_sequences_docs": q_pack_sequences,
         "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
@@ -1105,6 +1117,15 @@ FROM documents
 SELECT doc_id FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
       % {_HASH_SPACE} < {int(0.25 * _HASH_SPACE)}
+""",
+        "stratified_sample_by_lang": f"""
+SELECT lang, count(*)::BIGINT AS n FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+      % {_HASH_SPACE}
+      < (CASE lang WHEN 'en' THEN {int(0.5 * _HASH_SPACE)}
+                   WHEN 'es' THEN {_HASH_SPACE}
+                   ELSE {int(0.1 * _HASH_SPACE)} END)
+GROUP BY lang
 """,
         "pack_sequences_docs": f"""
 WITH t AS (
