@@ -146,11 +146,16 @@ def cmd_dedup(args) -> int:
     """Dedup job: exact keep-list or near-dup pair detection over a
     document table — the pipeline operators behind one spark-submit
     surface."""
+    from pyspark.sql import Observation, functions as F
+
     from .operators import dedup as dedup_op
 
     spark = build_session(app_name=f"dce-dedup-{args.method}")
     df = _read_table_or_path(spark, args.input, args.format)
-    summary = {"method": args.method, "input_docs": df.count()}
+    # input count rides the write action via observe — no extra scan
+    obs = Observation("dedup_input")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    summary = {"method": args.method}
     if args.method == "exact":
         kept = dedup_op.exact_dedup(df, args.text_col, args.id_col)
         kept.write.mode("overwrite").parquet(args.out)
@@ -178,6 +183,7 @@ def cmd_dedup(args) -> int:
                 spark.read.parquet(args.clusters_out)
                 .select("cluster_id").distinct().count()
             )
+    summary["input_docs"] = obs.get["n"]
     print(json.dumps(summary))
     _stop(spark)
     return 0
@@ -193,7 +199,9 @@ def cmd_textstats(args) -> int:
     spark = build_session(app_name="dce-textstats")
     df = _read_table_or_path(spark, args.input, args.format)
     ops = set(args.ops.split(","))
-    out = df.select(F.col(args.id_col))
+    # distinct spine: a duplicated doc id would otherwise multiply rows
+    # through every left join below
+    out = df.select(F.col(args.id_col)).distinct()
     if "quality" in ops:
         out = out.join(ts.quality_features(df, args.text_col, args.id_col),
                        args.id_col, "left")
@@ -231,7 +239,15 @@ def cmd_sample(args) -> int:
         )
         return 2
     spark = build_session(app_name="dce-sample")
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     df = _read_table_or_path(spark, args.input, args.format)
+    # input count rides the write action via observe (the CollectMetrics
+    # node sits above the scan, so the sample filter cannot push below
+    # it and the metric counts ALL input rows) — no extra scan
+    obs = Observation("sample_input")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if args.strata_col:
         rates = {}
         for kv in args.strata_rates.split(","):
@@ -253,7 +269,7 @@ def cmd_sample(args) -> int:
         out = sampling.hash_sample(df, args.rate, args.key_col, seed=args.seed)
     out.write.mode("overwrite").parquet(args.out)
     kept = spark.read.parquet(args.out).count()
-    print(json.dumps({"input_rows": df.count(), "kept_rows": kept}))
+    print(json.dumps({"input_rows": obs.get["n"], "kept_rows": kept}))
     _stop(spark)
     return 0
 

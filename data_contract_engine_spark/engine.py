@@ -424,37 +424,70 @@ class ValidationRun:
 
     def _referential_table_errors(self) -> List[QualityError]:
         """Table-backed vocabularies only (literal-value vocabs fuse into
-        the main agg pass): broadcast anti-join per column."""
+        the main agg pass): ONE job for all k vocab columns — the fact
+        table is chained through k broadcast LEFT joins (each marking
+        membership via the surviving vocab-key column) and a single
+        fused aggregate counts misses + collects ≤5 examples per column.
+        One scan of the fact table, zero fact shuffles (all joins
+        broadcast; the agg is a 1-row global aggregate), one collect —
+        regardless of how many vocab tables the contract declares
+        (pinned by tests/test_quality.py::
+        test_referential_table_vocabs_single_job)."""
         rules = self.contract.quality
         if not rules.referential:
             return []
-        out: List[QualityError] = []
+        vocab_cols: List[tuple] = []
         for column, spec in rules.referential.items():
             if "values" in spec:
                 continue  # handled in the fused agg
             vocab = self._resolve_vocab(column, spec)
             if vocab is None:
                 continue
-            bad = ref_op.invalid_references(self.df, column, vocab,
-                                            spec.get("column"))
-            stats = bad.agg(
-                F.count(F.lit(1)).alias("n"),
+            vc = spec.get("column") or column
+            marker = f"__refvocab__{column}"
+            vocab_cols.append(
+                (column, vocab.select(F.col(vc).alias(marker)).distinct())
+            )
+        if not vocab_cols:
+            return []
+        joined = self.df
+        for column, vocab_keys in vocab_cols:
+            joined = joined.join(
+                F.broadcast(vocab_keys),
+                on=F.col(column) == F.col(f"__refvocab__{column}"),
+                how="left",
+            )
+        aggs = []
+        for column, _ in vocab_cols:
+            bad = F.col(column).isNotNull() & F.col(
+                f"__refvocab__{column}"
+            ).isNull()
+            aggs.append(F.sum(bad.cast("long")).alias(f"__refn__{column}"))
+            aggs.append(
                 F.slice(
-                    F.sort_array(F.collect_set(F.col(column).cast("string"))),
+                    F.sort_array(
+                        F.collect_set(
+                            F.when(bad, F.col(column).cast("string"))
+                        )
+                    ),
                     1, 5,
-                ).alias("examples"),
-            ).collect()[0]
-            if stats["n"]:
+                ).alias(f"__refex__{column}")
+            )
+        row = joined.agg(*aggs).collect()[0]
+        out: List[QualityError] = []
+        for column, _ in vocab_cols:
+            n = row[f"__refn__{column}"] or 0
+            if n:
                 out.append(
                     QualityError(
                         rule_type="REFERENTIAL",
                         message=(
-                            f"Field '{column}' has {stats['n']} values outside "
+                            f"Field '{column}' has {n} values outside "
                             f"the reference vocabulary: "
-                            f"{', '.join(stats['examples'] or [])}"
+                            f"{', '.join(row[f'__refex__{column}'] or [])}"
                         ),
                         severity=SEVERITY_ERROR,
-                        details={"field": column, "invalid_count": stats["n"]},
+                        details={"field": column, "invalid_count": n},
                     )
                 )
         return out

@@ -120,6 +120,14 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
+    .. versionchanged:: round 2
+       ``max_shingle_freq`` previously defaulted to ``None`` (no cap).
+       It now defaults to 1000, so by default Jaccard is computed over
+       the stop-shingle-FILTERED universe: on corpora with shingles
+       shared by >1000 docs, values near the threshold can differ from
+       the uncapped metric. Pass ``max_shingle_freq=None`` explicitly to
+       restore the old exact-over-everything behavior (see CHANGELOG.md).
+
     Exact over the retained shingle universe — use on small inputs or LSH
     candidates. ``max_shingle_freq`` (default 1000; pass ``None`` to
     explicitly opt out) drops shingles shared by more than that many docs:
@@ -469,6 +477,7 @@ def duplicate_clusters(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, cluster_id)
     with cluster_id = the minimum id in the component. This is the step
@@ -481,23 +490,41 @@ def duplicate_clusters(
     additionally adopts its label's OWN label (l(x) ← min(l(x), l(l(x))),
     the classic shortcut), so convergence needs O(log diameter) rounds,
     not O(diameter). Ids keep their native type (string keys work; no
-    silent long cast). Each round localCheckpoints the label frame: at
+    silent long cast). Each round checkpoints the label frame: at
     10¹² scale the lineage would otherwise grow per-iteration and replan
     from the raw pairs every round. The driver sees one count per round
     (convergence check), never row data. If ``max_iter`` rounds are not
     enough (diameter > 2^max_iter — pathological), the function RAISES
     instead of returning inconsistent labels.
+
+    Checkpoint durability tradeoff: the default ``localCheckpoint`` keeps
+    blocks on executors — fastest, but on a real cluster an executor loss
+    mid-iteration kills the job unrecoverably (the truncated lineage
+    cannot recompute lost blocks). Pass ``checkpoint_dir`` (HDFS/S3/
+    local path) to use reliable ``checkpoint()`` instead: each round's
+    labels persist to the fault-tolerant store, trading per-round write
+    IO for survivability. Labels are identical either way (pinned by
+    test_operators.py::test_duplicate_clusters_reliable_checkpoint).
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _persist_round(frame: DataFrame) -> DataFrame:
+            return frame.checkpoint(eager=True)
+    else:
+        def _persist_round(frame: DataFrame) -> DataFrame:
+            return frame.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    labels = (
+    labels = _persist_round(
         sym.select(F.col("u").alias("id")).distinct()
         .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = _persist_round(sym)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -514,7 +541,7 @@ def duplicate_clusters(
         parent = half.select(
             F.col("id").alias("pid"), F.col("lbl").alias("plbl")
         )
-        new_labels = (
+        new_labels = _persist_round(
             half.join(parent, half["lbl"] == parent["pid"], "left")
             .select(
                 "id",
@@ -522,7 +549,6 @@ def duplicate_clusters(
                     F.col("lbl"), F.coalesce("plbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -133,14 +133,26 @@ def psi_kl(
     return DriftScore(column=column, psi=out.psi, kl=out.kl, bins=out.bins)
 
 
+OTHER_BUCKET = "__other__"
+
+
 def categorical_histogram(
-    df: DataFrame, column: str, top_k: int = 100
+    df: DataFrame, column: str, top_k: int = 100, _with_flag: bool = False
 ) -> DataFrame:
     """(cat, cnt) over the column's values with a deterministic top-k cap:
     the ``top_k`` most frequent categories (ties broken by value) keep
     their own bucket, everything else rolls into ``__other__`` — bounding
     the histogram relation regardless of column cardinality. One
-    hash-aggregate + a driver-side top-k list (≤ top_k values)."""
+    hash-aggregate + a driver-side top-k list (≤ top_k values).
+
+    The rollup bucket name is reserved: a REAL category whose string value
+    is literally ``__other__`` would be indistinguishable from the rollup
+    (and would skew the fused engine path's baseline category space), so
+    it raises here the moment it shows up in the top-k; callers that
+    collect the histogram (``baseline_snapshot`` / ``psi_kl_categorical``)
+    use ``_with_flag`` to catch it even outside the top-k with zero extra
+    scans (the flag rides the existing rollup aggregate).
+    """
     counts = (
         df.filter(F.col(column).isNotNull())
         .groupBy(F.col(column).cast("string").alias("cat"))
@@ -150,16 +162,38 @@ def categorical_histogram(
         r["cat"]
         for r in counts.orderBy(F.desc("cnt"), "cat").limit(top_k).collect()
     ]
-    return (
-        counts.withColumn(
-            "cat",
-            F.when(F.col("cat").isin(top), F.col("cat")).otherwise(
-                F.lit("__other__")
-            ),
+    if OTHER_BUCKET in top:
+        raise ValueError(
+            f"column {column!r} contains {OTHER_BUCKET!r} as a real value; "
+            "it collides with the rollup bucket — rename or pre-map it"
+        )
+    rolled = (
+        counts.select(
+            F.when(F.col("cat").isin(top), F.col("cat"))
+            .otherwise(F.lit(OTHER_BUCKET))
+            .alias("cat"),
+            "cnt",
+            (F.col("cat") == OTHER_BUCKET).cast("int").alias("__lit_other"),
         )
         .groupBy("cat")
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.max("__lit_other").alias("__lit_other"),
+        )
     )
+    if _with_flag:
+        return rolled
+    return rolled.select("cat", "cnt")
+
+
+def _guard_literal_other(rows, column: str):
+    """Raise if any collected flagged-histogram row saw a literal
+    ``__other__`` value rolled into a bucket."""
+    if any(r["__lit_other"] for r in rows):
+        raise ValueError(
+            f"column {column!r} contains {OTHER_BUCKET!r} as a real value; "
+            "it collides with the rollup bucket — rename or pre-map it"
+        )
 
 
 def psi_kl_categorical(
@@ -178,11 +212,12 @@ def psi_kl_categorical(
     it is ≤ top_k+1 rows), one current aggregate, and the PSI/KL
     arithmetic runs driver-side over those tiny dicts (no join job, no
     UDF job — the histograms already fit in the driver by construction)."""
-    base_counts = {
-        r["cat"]: r["cnt"]
-        for r in categorical_histogram(baseline_df, column, top_k).collect()
-    }
-    base_cats = [c for c in base_counts if c != "__other__"]
+    base_rows = categorical_histogram(
+        baseline_df, column, top_k, _with_flag=True
+    ).collect()
+    _guard_literal_other(base_rows, column)
+    base_counts = {r["cat"]: r["cnt"] for r in base_rows}
+    base_cats = [c for c in base_counts if c != OTHER_BUCKET]
     cur_rows = (
         current_df.filter(F.col(column).isNotNull())
         .groupBy(
@@ -190,12 +225,18 @@ def psi_kl_categorical(
                 F.col(column).cast("string").isin(base_cats),
                 F.col(column).cast("string"),
             )
-            .otherwise(F.lit("__other__"))
+            .otherwise(F.lit(OTHER_BUCKET))
             .alias("cat")
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(
+                (F.col(column).cast("string") == OTHER_BUCKET).cast("int")
+            ).alias("__lit_other"),
+        )
         .collect()
     )
+    _guard_literal_other(cur_rows, column)
     cur_counts = {r["cat"]: r["cnt"] for r in cur_rows}
     buckets = sorted(set(base_counts) | set(cur_counts))
     psi, kl = psi_kl_exact(
@@ -359,10 +400,13 @@ def baseline_snapshot(
     cats = {}
     for c in categorical:
         hist = categorical_histogram(
-            df.select(F.expr(exprs[c]).alias(c)), c, top_k=bins
+            df.select(F.expr(exprs[c]).alias(c)), c, top_k=bins,
+            _with_flag=True,
         ).collect()
+        _guard_literal_other(hist, c)
         ordered = sorted(
-            (r for r in hist if r["cat"] != "__other__"), key=lambda r: r["cat"]
+            (r for r in hist if r["cat"] != OTHER_BUCKET),
+            key=lambda r: r["cat"],
         )
         cats[c] = [r["cat"] for r in ordered]
     if not edges and not cats:

@@ -98,6 +98,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_shards: int = 64,
     seed: int = 42,
+    on_null: str = "error",
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: documents are sharded by key
     hash, ordered deterministically inside the shard (hash, then id — a
@@ -112,6 +113,13 @@ def pack_sequences(
     one — so packing scales with executors; shard count bounds per-task
     sort size; the cut itself is a closed-form projection over the
     running token sum (no iterative bin state).
+
+    A NULL ``token_col`` would otherwise poison the running sum (cum −
+    NULL = NULL) and silently yield NULL pack ids for every later doc in
+    the shard — ``on_null`` makes the policy explicit (mirroring
+    :func:`hash_sample`'s ``_null_guard``): ``'error'`` (default) raises
+    at execution time, ``'zero'`` packs the doc with 0 tokens (it shares
+    the next doc's start position), ``'drop'`` filters such docs out.
     """
     clash = {"shard", "pack_id", "pack_offset", "__pack_order"} & set(
         df.columns
@@ -119,6 +127,25 @@ def pack_sequences(
     if clash:
         raise ValueError(
             f"pack_sequences output columns collide with input: {sorted(clash)}"
+        )
+    tokens = F.col(token_col).cast("long")
+    if on_null == "error":
+        tokens = F.when(
+            F.col(token_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"pack_sequences: NULL {token_col!r} "
+                    "(pass on_null='zero' or 'drop' for a lenient policy)"
+                )
+            ).cast("long"),
+        ).otherwise(tokens)
+    elif on_null == "zero":
+        tokens = F.coalesce(tokens, F.lit(0).cast("long"))
+    elif on_null == "drop":
+        df = df.filter(F.col(token_col).isNotNull())
+    else:
+        raise ValueError(
+            f"on_null must be 'error', 'zero' or 'drop', got {on_null!r}"
         )
     h = portable_key_hash(F.col(id_col), seed)
     out = df.select(
@@ -130,11 +157,11 @@ def pack_sequences(
     # running sums and pack ids stay LONG end to end: a shard's cumulative
     # token count passes 2^31 early at real scale, and an int32 product
     # (pack_id * budget) would wrap silently into negative offsets
-    cum = F.sum(F.col(token_col).cast("long")).over(
+    cum = F.sum(tokens).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # tokens before this doc in the shard stream decide where it starts
-    prev_cum = cum - F.col(token_col)
+    prev_cum = cum - tokens
     budget_l = F.lit(budget).cast("long")
     pack_id = F.floor(prev_cum / budget_l).cast("long")
     pack_offset = (prev_cum - pack_id * budget_l).cast("long")

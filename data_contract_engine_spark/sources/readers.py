@@ -114,13 +114,37 @@ def validate_format(path: str, file_format: Optional[str] = None) -> bool:
     handled by the reader — the reference's sample check behaves the same
     way (`file_handlers.py:131-141`). Pass ``validate=False`` to
     ``read_source`` (or call ``read_jsonl`` directly) when corrupt lines
-    are expected input rather than a mislabeled file."""
+    are expected input rather than a mislabeled file.
+
+    Verdicts are memoized per (path, format, size, mtime): repeated reads
+    of the same unchanged file — notably the ≤8MB whole-document JSON
+    parse — validate once, not once per read."""
     import json
     import os
 
     if not os.path.isfile(path):
         return True
+    st = os.stat(path)
+    cache_key = (path, file_format, st.st_size, st.st_mtime_ns)
+    hit = _VALIDATE_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     fmt = _EXT_FORMATS.get((file_format or path.rsplit(".", 1)[-1]).lower())
+    res = _validate_format_uncached(path, fmt)
+    if len(_VALIDATE_CACHE) >= _VALIDATE_CACHE_MAX:
+        _VALIDATE_CACHE.clear()
+    _VALIDATE_CACHE[cache_key] = res
+    return res
+
+
+_VALIDATE_CACHE: dict = {}
+_VALIDATE_CACHE_MAX = 4096
+
+
+def _validate_format_uncached(path: str, fmt: Optional[str]) -> bool:
+    import json
+    import os
+
     try:
         if fmt == "csv":
             import pandas as pd
@@ -166,7 +190,10 @@ def read_source(
 ) -> DataFrame:
     """Handler dispatch (S5): explicit format wins, else file extension.
     ``validate`` runs the cheap :func:`validate_format` sample parse first
-    (reference parity — the upload pipeline validates before ingesting)."""
+    (reference parity — the upload pipeline validates before ingesting);
+    verdicts are memoized per (path, size, mtime) so re-reading an
+    unchanged file never re-parses driver-side. Pass ``validate=False``
+    to skip entirely (e.g. corrupt-tolerant JSONL ingestion)."""
     fmt = (file_format or path.rsplit(".", 1)[-1]).lower()
     fmt = _EXT_FORMATS.get(fmt)
     if validate and fmt and not validate_format(path, fmt):

@@ -77,9 +77,20 @@ class ContractRecord:
 
 
 class ContractRegistry:
+    """Scale note (tested at 10⁴ contracts,
+    tests/test_versioning.py::test_registry_scale_10k): lookups by name
+    go through an in-memory index (O(1)), ``list`` is one linear pass +
+    sort over metadata records, and ``bulk()`` defers the per-mutation
+    JSON dump so loading N contracts costs one save, not N. The store
+    stays a single JSON document by design — contract metadata is
+    KB-scale; at 10⁵+ contracts swap ``_load``/``_save`` for a real
+    catalog as the module docstring describes."""
+
     def __init__(self, path: Optional[str] = None):
         self.path = path
         self._by_id: Dict[str, ContractRecord] = {}
+        self._by_name: Dict[str, str] = {}  # name.lower() -> contract_id
+        self._defer_save = False
         if path and os.path.exists(path):
             self._load()
 
@@ -89,19 +100,38 @@ class ContractRegistry:
         with open(self.path) as f:
             raw = json.load(f)
         self._by_id = {}
+        self._by_name = {}
         for item in raw:
             versions = [VersionRecord(**v) for v in item.pop("versions", [])]
             rec = ContractRecord(**item)
             rec.versions = versions
             self._by_id[rec.contract_id] = rec
+            self._by_name[rec.name.lower()] = rec.contract_id
 
     def _save(self) -> None:
-        if not self.path:
+        if not self.path or self._defer_save:
             return
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump([r.to_dict() for r in self._by_id.values()], f, indent=1)
         os.replace(tmp, self.path)
+
+    def bulk(self):
+        """Context manager deferring persistence to exit: N mutations →
+        one atomic save (bulk import at registry scale would otherwise
+        rewrite the store N times)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _bulk():
+            self._defer_save = True
+            try:
+                yield self
+            finally:
+                self._defer_save = False
+                self._save()
+
+        return _bulk()
 
     # -- CRUD -------------------------------------------------------------
 
@@ -132,6 +162,7 @@ class ContractRegistry:
             ],
         )
         self._by_id[rec.contract_id] = rec
+        self._by_name[rec.name.lower()] = rec.contract_id
         self._save()
         return rec
 
@@ -153,11 +184,8 @@ class ContractRegistry:
         return rec
 
     def get_by_name(self, name: str) -> Optional[ContractRecord]:
-        lowered = name.lower()
-        for rec in self._by_id.values():
-            if rec.name.lower() == lowered:
-                return rec
-        return None
+        cid = self._by_name.get(name.lower())
+        return self._by_id.get(cid) if cid is not None else None
 
     def list(
         self,
@@ -187,8 +215,9 @@ class ContractRegistry:
         self._save()
 
     def delete(self, contract_id: str) -> None:
-        self.get(contract_id)
+        rec = self.get(contract_id)
         del self._by_id[contract_id]
+        self._by_name.pop(rec.name.lower(), None)
         self._save()
 
     # -- versioning -------------------------------------------------------

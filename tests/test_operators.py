@@ -176,3 +176,59 @@ def test_categorical_drift_psi(spark):
     assert s2.psi == pytest.approx(expected_psi, rel=1e-9)
     assert s2.kl == pytest.approx(expected_kl, rel=1e-9)
     assert s2.psi > 1.0  # large shift
+
+
+def test_categorical_other_collision_raises(spark):
+    """'__other__' as a REAL category value collides with the rollup
+    bucket → hard error instead of silently skewed histograms."""
+    from data_contract_engine_spark.operators import drift
+
+    df = spark.createDataFrame(
+        [("__other__",), ("en",), ("en",)], ["lang"]
+    )
+    with pytest.raises(ValueError, match="__other__"):
+        drift.categorical_histogram(df, "lang")
+    with pytest.raises(ValueError, match="__other__"):
+        drift.baseline_snapshot(df, {"lang": "lang"}, bins=5,
+                                categorical=["lang"])
+    # current-side literal also raises (baseline clean)
+    base = spark.createDataFrame([("en",), ("fr",)], ["lang"])
+    cur = spark.createDataFrame([("en",), ("__other__",)], ["lang"])
+    with pytest.raises(ValueError, match="__other__"):
+        drift.psi_kl_categorical(cur, base, "lang")
+    # collision BELOW the top-k is caught by the ride-along flag
+    crowd = [(c,) for c in "abcdef" for _ in range(5)] + [("__other__",)]
+    rare = spark.createDataFrame(crowd, ["lang"])
+    with pytest.raises(ValueError, match="__other__"):
+        drift.psi_kl_categorical(base, rare, "lang", top_k=2)
+
+
+def test_duplicate_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir → reliable checkpoint() per round; labels identical
+    to the localCheckpoint default (the executor-loss durability knob
+    must not change results)."""
+    from data_contract_engine_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    expected = {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
+    local = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    reliable = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "cc_ckpt")
+        ).collect()
+    }
+    assert local == reliable == expected
+    # the reliable run actually materialized checkpoint files
+    import os
+
+    assert any(os.scandir(str(tmp_path / "cc_ckpt")))

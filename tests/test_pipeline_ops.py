@@ -578,3 +578,60 @@ def test_pack_sequences_long_safe_and_collision_guard(spark):
     clash = spark.createDataFrame([(1, 2, 3)], "doc_id long, n int, shard int")
     with _pytest.raises(ValueError, match="collide"):
         sampling.pack_sequences(clash, budget=10, token_col="n")
+
+
+def test_pack_sequences_null_token_policy(spark):
+    """NULL token counts no longer poison the running sum silently:
+    default 'error' raises at execution time; 'zero'/'drop' are the
+    explicit lenient policies (mirrors hash_sample's _null_guard)."""
+    import pytest as _pytest
+
+    from data_contract_engine_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 3)], "doc_id string, n_tokens int"
+    )
+    with _pytest.raises(Exception, match="pack_sequences: NULL"):
+        sampling.pack_sequences(df, 8, "n_tokens").collect()
+
+    dropped = sampling.pack_sequences(
+        df, 8, "n_tokens", on_null="drop"
+    ).collect()
+    assert {r["doc_id"] for r in dropped} == {"a", "c"}
+    assert all(r["pack_id"] is not None for r in dropped)
+
+    zeroed = sampling.pack_sequences(
+        df, 8, "n_tokens", on_null="zero"
+    ).collect()
+    assert {r["doc_id"] for r in zeroed} == {"a", "b", "c"}
+    assert all(
+        r["pack_id"] is not None and r["pack_offset"] is not None
+        for r in zeroed
+    )
+
+    with _pytest.raises(ValueError, match="on_null"):
+        sampling.pack_sequences(df, 8, "n_tokens", on_null="nope")
+
+
+def test_validate_format_memoized(tmp_path, monkeypatch):
+    """Repeated reads of an unchanged file validate once (per path+size+
+    mtime); editing the file invalidates the cache entry."""
+    from data_contract_engine_spark.sources import readers
+
+    p = tmp_path / "memo.json"
+    p.write_text('{"a": 1}')
+    readers._VALIDATE_CACHE.clear()
+    calls = {"n": 0}
+    real = readers._validate_format_uncached
+
+    def spy(path, fmt):
+        calls["n"] += 1
+        return real(path, fmt)
+
+    monkeypatch.setattr(readers, "_validate_format_uncached", spy)
+    assert readers.validate_format(str(p)) is True
+    assert readers.validate_format(str(p)) is True
+    assert calls["n"] == 1
+    p.write_text('{"a": 12345}')  # different size → new cache key
+    assert readers.validate_format(str(p)) is True
+    assert calls["n"] == 2

@@ -322,3 +322,65 @@ def test_categorical_drift_rule_in_contract(spark):
     drift_errs = [e for e in rep2.quality.errors if e.rule_type == "DRIFT"]
     assert drift_errs and drift_errs[0].details["psi"] > 0.2
     assert "PSI" in drift_errs[0].message
+
+
+def test_referential_table_vocabs_single_job(spark, monkeypatch):
+    """k table-backed vocab columns → ONE collected query (round-2
+    verdict item #6: the old path issued one collect-job per column).
+    The fact table is chained through k broadcast LEFT joins and a single
+    fused aggregate; the pin below counts DataFrame.collect round trips
+    and checks the one executed plan carries BOTH broadcast joins (the
+    vocab-side `.distinct()` / broadcast-materialization stages remain
+    separate tiny jobs by Spark's execution model — they scan only the
+    vocab tables, never the fact)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    contract = contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {"id": {"type": "string"}},
+            "quality_rules": {
+                "referential": {
+                    "role": {"table": "roles", "column": "role"},
+                    "tool": {"table": "tools", "column": "tool"},
+                }
+            },
+        }
+    )
+    df = spark.createDataFrame(
+        [("a", "user", "search"), ("b", "ghost", "search"),
+         ("c", "user", "hammer"), ("d", None, None)],
+        "id string, role string, tool string",
+    )
+    roles = spark.createDataFrame([("user",), ("assistant",)], ["role"])
+    tools = spark.createDataFrame([("search",), ("calc",)], ["tool"])
+    eng = ContractEngine(
+        spark, vocab_tables={"roles": roles, "tools": tools}
+    )
+    run = eng.validate(df, contract, key_columns=["id"])
+
+    collected = []
+    real_collect = ClassicDF.collect
+
+    def spy(frame):
+        collected.append(frame)
+        return real_collect(frame)
+
+    monkeypatch.setattr(ClassicDF, "collect", spy)
+    errors = run._referential_table_errors()
+    monkeypatch.undo()
+
+    assert len(collected) == 1, "expected ONE fused collect for k vocabs"
+    plan = collected[0]._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the plan twice (Final + Initial) — check the final one
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("BroadcastHashJoin") == 2
+
+    by_field = {e.details["field"]: e for e in errors}
+    assert by_field["role"].details["invalid_count"] == 1
+    assert "ghost" in by_field["role"].message
+    assert by_field["tool"].details["invalid_count"] == 1
+    assert "hammer" in by_field["tool"].message
+    assert by_field["role"].message.startswith(
+        "Field 'role' has 1 values outside the reference vocabulary:"
+    )

@@ -151,3 +151,52 @@ def test_templates_parse():
     items = nested.fields_dict()["items"]
     assert items.items is not None and items.items.type == "object"
     assert "product_id" in items.items.properties_dict()
+
+
+def test_registry_scale_10k(tmp_path):
+    """Registry behavior at 10⁴ contracts (round-2 verdict item #8): bulk
+    import defers persistence to ONE save, name lookup is O(1) via the
+    index, and list/filter/paginate stay inside a tight latency budget.
+    (At 10⁵+ the JSON store should be swapped for a catalog — documented
+    on the class.)"""
+    import time as _time
+
+    from data_contract_engine_spark.versioning.registry import (
+        ContractRegistry,
+        DuplicateContract,
+    )
+
+    yaml_text = """
+contract_version: "1.0"
+domain: d{dom}
+schema:
+  id: {{type: string, required: true}}
+"""
+    path = str(tmp_path / "reg10k.json")
+    reg = ContractRegistry(path)
+    t0 = _time.time()
+    with reg.bulk():
+        for i in range(10_000):
+            reg.create(f"contract_{i}", yaml_text.format(dom=i % 7))
+    bulk_sec = _time.time() - t0
+    assert bulk_sec < 30.0, f"bulk create too slow: {bulk_sec:.1f}s"
+
+    t0 = _time.time()
+    page = reg.list(domain="d3", offset=100, limit=50)
+    assert len(page) == 50 and all(r.domain == "d3" for r in page)
+    assert reg.get_by_name("CONTRACT_9999").name == "contract_9999"
+    assert reg.get_by_name("no_such") is None
+    assert len(reg.domains()) == 7
+    query_sec = _time.time() - t0
+    assert query_sec < 1.0, f"list/filter/lookup too slow: {query_sec:.2f}s"
+
+    # duplicate check stays O(1) at scale
+    import pytest as _pytest
+
+    with _pytest.raises(DuplicateContract):
+        reg.create("contract_0", yaml_text.format(dom=0))
+
+    # reload from disk: one file, all records, index rebuilt
+    reg2 = ContractRegistry(path)
+    assert len(reg2.list(active_only=False, limit=20_000)) == 10_000
+    assert reg2.get_by_name("contract_123") is not None
