@@ -553,6 +553,136 @@ def q_media_features(spark, sf_dir):
     )
 
 
+# ---- streaming semantics under the oracle gate ----------------------------
+#
+# Each gate replays the flagship stream in two AvailableNow phases over a
+# shared checkpoint (streaming/replay.py): phase A = transcripts with
+# 2024-01-01 <= ts < 2024-01-16, phase B = the rest INCLUDING the
+# injected 2019 rows, which arrive as genuinely-late data in phase 2.
+# The empirically pinned watermark semantics (see replay.py docstring)
+# make the sink an exact SQL function of the phase split.
+
+_STREAM_SPLIT = "2024-01-16 00:00:00"
+_STREAM_LO = "2024-01-01 00:00:00"
+
+
+def _stream_phases(spark, sf_dir):
+    tr = _transcripts(spark, sf_dir)
+    lo = F.to_timestamp(F.lit(_STREAM_LO))
+    split = F.to_timestamp(F.lit(_STREAM_SPLIT))
+    a = tr.filter((F.col("ts") >= lo) & (F.col("ts") < split))
+    b = tr.filter((F.col("ts") >= split) | (F.col("ts") < lo))
+    return a, b
+
+
+def q_stream_windowed_verdicts(spark, sf_dir):
+    """ST1/ST5 under the oracle gate: append-mode tumbling-window PASS/
+    FAIL verdicts with a 1h watermark, replayed in two phases. The late
+    2019 rows arriving in phase B are dropped by the watermark (they
+    would otherwise flip their windows' counts — the oracle counts only
+    non-late rows), and only windows finalized by the final watermark
+    (max ts − 1h) are in the sink."""
+    import tempfile
+
+    from data_contract_engine_spark.contracts.parser import parse_contract_yaml
+    from data_contract_engine_spark.streaming.replay import replay_phases
+    from data_contract_engine_spark.streaming.validate import (
+        validate_stream,
+        windowed_verdicts,
+    )
+
+    a, b = _stream_phases(spark, sf_dir)
+    contract = parse_contract_yaml(FLAGSHIP_CONTRACT_YAML, name="flagship")
+
+    def transform(stream):
+        validated = validate_stream(stream, contract, ts_col="ts")
+        return windowed_verdicts(
+            validated, ts_col="ts", window="1 day", watermark="1 hour"
+        )
+
+    sink = replay_phases(
+        spark, [a, b], transform, tempfile.mkdtemp(prefix="dce_swv_")
+    )
+    return sink.select(
+        F.unix_timestamp("window_start").cast("long").alias("ws_epoch"),
+        F.unix_timestamp("window_end").cast("long").alias("we_epoch"),
+        "total",
+        "passed_count",
+        "failed_count",
+        "verdict",
+    )
+
+
+def q_stream_dedup_state(spark, sf_dir):
+    """ST4 under the oracle gate: dropDuplicatesWithinWatermark state
+    expiry. Phase A streams one representative row per distinct text
+    (min ts); phase B replays every text at max(ts)+2h. Keys whose state
+    the watermark already evicted (first_ts + delay <= max_ts − delay,
+    i.e. first_ts <= max_ts − 2h at delay=1h) are admitted AGAIN
+    (n_kept=2); still-live keys drop the replay (n_kept=1)."""
+    import datetime as _dt
+    import tempfile
+
+    from data_contract_engine_spark.streaming.replay import replay_phases
+    from data_contract_engine_spark.streaming.validate import (
+        stream_exact_dedup,
+    )
+
+    a, _ = _stream_phases(spark, sf_dir)
+    rep = a.groupBy("text").agg(F.min("ts").alias("ts"))
+    mx = rep.agg(F.max("ts")).collect()[0][0]
+    replay = rep.select(
+        "text", F.lit(mx + _dt.timedelta(hours=2)).cast("timestamp").alias("ts")
+    )
+
+    def transform(stream):
+        return stream_exact_dedup(
+            stream, text_col="text", ts_col="ts", watermark="1 hour"
+        )
+
+    sink = replay_phases(
+        spark, [rep, replay], transform, tempfile.mkdtemp(prefix="dce_sdd_")
+    )
+    return sink.groupBy(
+        F.md5(F.col("text").cast("binary")).alias("digest")
+    ).agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+def q_stream_microbatch_engine(spark, sf_dir):
+    """ST2 under the oracle gate: foreachBatch runs the FULL batch engine
+    per micro-batch; the checkpoint makes the two-phase replay resume
+    exactly (phase B's batch sees only phase-B files). Output = per-phase
+    verdict counters from the engine's report()."""
+    import tempfile
+
+    from data_contract_engine_spark.streaming.replay import (
+        replay_phases_foreach,
+    )
+
+    a, b = _stream_phases(spark, sf_dir)
+    eng = ContractEngine(spark)
+    results = []
+
+    def handler(batch_df, batch_id):
+        if not batch_df.take(1):
+            return  # trailing empty commit batches carry no phase
+        run = eng.validate(
+            batch_df, FLAGSHIP_CONTRACT_YAML,
+            key_columns=["conv_id", "turn_idx"],
+        )
+        rep = run.report()
+        results.append(
+            (len(results), rep.total_records, rep.passed, rep.failed)
+        )
+
+    replay_phases_foreach(
+        spark, [a, b], handler, tempfile.mkdtemp(prefix="dce_smb_")
+    )
+    return spark.createDataFrame(
+        results, "phase long, total long, passed long, failed long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violation_counts": q_violation_counts,
@@ -595,6 +725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
+        "stream_windowed_verdicts": q_stream_windowed_verdicts,
+        "stream_dedup_state": q_stream_dedup_state,
+        "stream_microbatch_engine": q_stream_microbatch_engine,
     }
 
 
@@ -1110,6 +1243,62 @@ FROM documents
         "drift_psi_textlen": _drift_psi_oracle(hist_case),
         "drift_psi_categorical": _drift_psi_cat_oracle(),
         "media_features_pandas": _MEDIA_FEATURES_SQL,
+        # streaming replays: exact SQL functions of the two-phase split
+        # under the pinned watermark semantics (streaming/replay.py)
+        "stream_windowed_verdicts": _T
+        + f"""
+, a AS (SELECT * FROM transcripts
+        WHERE ts >= TIMESTAMP '{_STREAM_LO}'
+          AND ts <  TIMESTAMP '{_STREAM_SPLIT}'),
+b AS (SELECT * FROM transcripts
+      WHERE ts >= TIMESTAMP '{_STREAM_SPLIT}'
+         OR ts <  TIMESTAMP '{_STREAM_LO}'),
+wm1 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM a),
+inp AS (SELECT * FROM a
+        UNION ALL
+        SELECT * FROM b WHERE ts >= (SELECT w FROM wm1)),
+wm2 AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM inp)
+SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS ws_epoch,
+       (floor(epoch(ts) / 86400) * 86400 + 86400)::BIGINT AS we_epoch,
+       count(*)::BIGINT AS total,
+       sum(CASE WHEN {_FAIL} THEN 0 ELSE 1 END)::BIGINT AS passed_count,
+       sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT AS failed_count,
+       CASE WHEN sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END) = 0
+            THEN 'PASS' ELSE 'FAIL' END AS verdict
+FROM inp
+GROUP BY 1, 2
+HAVING we_epoch <= (SELECT epoch(w) FROM wm2)
+""",
+        "stream_dedup_state": _T
+        + f"""
+, rep AS (SELECT text, min(ts) AS ts FROM transcripts
+          WHERE ts >= TIMESTAMP '{_STREAM_LO}'
+            AND ts <  TIMESTAMP '{_STREAM_SPLIT}'
+          GROUP BY text),
+mx AS (SELECT max(ts) AS m FROM rep)
+SELECT md5(text) AS digest,
+       (1 + CASE WHEN ts + INTERVAL 2 HOUR <= (SELECT m FROM mx)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM rep
+""",
+        "stream_microbatch_engine": _T
+        + f"""
+, a AS (SELECT * FROM transcripts
+        WHERE ts >= TIMESTAMP '{_STREAM_LO}'
+          AND ts <  TIMESTAMP '{_STREAM_SPLIT}'),
+b AS (SELECT * FROM transcripts
+      WHERE ts >= TIMESTAMP '{_STREAM_SPLIT}'
+         OR ts <  TIMESTAMP '{_STREAM_LO}')
+SELECT 0::BIGINT AS phase, count(*)::BIGINT AS total,
+       sum(CASE WHEN {_FAIL} THEN 0 ELSE 1 END)::BIGINT AS passed,
+       sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT AS failed
+FROM a
+UNION ALL
+SELECT 1::BIGINT, count(*)::BIGINT,
+       sum(CASE WHEN {_FAIL} THEN 0 ELSE 1 END)::BIGINT,
+       sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT
+FROM b
+""",
         "repetition_features": _REPETITION_SQL,
         "pii_redaction": _pii_oracle(),
         "dedup_clusters": _CLUSTERS_SQL,

@@ -374,3 +374,68 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # one row per distinct content within the watermark horizon
     assert sorted(r["text"] for r in out) == ["other content", "same content"]
     assert {r["doc_id"] for r in out} <= {0, 1, 2, 3} and len(out) == 2
+
+
+def test_replay_phases_pins_watermark_semantics(spark, tmp_path):
+    """Pins the empirical semantics the streaming oracle gates rely on
+    (streaming/replay.py docstring): (1) an AvailableNow run finalizes
+    append windows up to max(seen)-delay, (2) late rows are dropped at
+    the batch-start watermark, (3) dropDuplicatesWithinWatermark evicts
+    state once watermark >= first_ts + delay (inclusive)."""
+    import datetime as _dt
+
+    from data_contract_engine_spark.streaming.replay import replay_phases
+
+    base = _dt.datetime(2024, 1, 1)
+    rows_a = [(f"a{d}_{h}", base + _dt.timedelta(days=d, hours=h))
+              for d in range(5) for h in (1, 13)]
+    rows_a.append(("amax", base + _dt.timedelta(days=4, hours=23)))
+    a = spark.createDataFrame(rows_a, "k string, ts timestamp")
+    rows_b = [("b6", base + _dt.timedelta(days=6, hours=2)),
+              ("late", base + _dt.timedelta(days=1, hours=5))]
+    b = spark.createDataFrame(rows_b, "k string, ts timestamp")
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+
+    sink = replay_phases(spark, [a, b], transform, str(tmp_path / "wv"))
+    got = {str(r["ws"]): r["n"] for r in sink.collect()}
+    # all 5 A-day windows finalized by run 2's watermark (Jan 6 01:00);
+    # the late row into Jan 2 was dropped (count stays 2); b6's Jan 7
+    # window is past the final watermark -> absent
+    assert got == {
+        "2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 2,
+        "2024-01-03 00:00:00": 2, "2024-01-04 00:00:00": 2,
+        "2024-01-05 00:00:00": 3,
+    }
+
+    # dedup-state expiry: first_ts <= max_A - 2*delay  ->  re-admitted
+    from data_contract_engine_spark.streaming.validate import (
+        stream_exact_dedup,
+    )
+
+    base2 = _dt.datetime(2024, 3, 1, 12)
+    a2 = spark.createDataFrame(
+        [(f"t{i}", base2 + _dt.timedelta(hours=i)) for i in range(6)],
+        "text string, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [(f"t{i}", base2 + _dt.timedelta(hours=7)) for i in range(6)],
+        "text string, ts timestamp",
+    )
+    sink2 = replay_phases(
+        spark, [a2, b2],
+        lambda s: stream_exact_dedup(s, text_col="text", ts_col="ts",
+                                     watermark="1 hour"),
+        str(tmp_path / "dd"),
+    )
+    from collections import Counter
+
+    kept = Counter(r["text"] for r in sink2.collect())
+    # max_A = base2+5h; expired iff ts <= base2+3h -> t0..t3 re-admitted
+    assert kept == {"t0": 2, "t1": 2, "t2": 2, "t3": 2, "t4": 1, "t5": 1}
