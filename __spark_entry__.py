@@ -553,6 +553,31 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_png_decode(spark, sf_dir):
+    """REAL image decode under the oracle gate: deterministic RGB PNGs
+    (pixels = png_pixel_value formula, scanline filters cycling through
+    all five types) are encoded Spark-side in mapInPandas, then decoded
+    by the stdlib PNG decoder (chunk walk + CRC + zlib inflate + full
+    unfiltering) through the extract_features seam. The oracle recomputes
+    the per-channel pixel SUMS from the formula alone — any decode bug
+    (wrong filter inverse, wrong stride, bad chunk parse) breaks the
+    exact-integer match."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.png_media_from_ids(d)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.stdlib_media_decoder
+    )
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("width"),
+        F.element_at(f, 2).cast("int").alias("height"),
+        F.element_at(f, 3).cast("long").alias("sum_r"),
+        F.element_at(f, 4).cast("long").alias("sum_g"),
+        F.element_at(f, 5).cast("long").alias("sum_b"),
+    )
+
+
 # ---- streaming semantics under the oracle gate ----------------------------
 #
 # Each gate replays the flagship stream in two AvailableNow phases over a
@@ -725,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
+        "media_png_decode": q_media_png_decode,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
@@ -1243,6 +1269,24 @@ FROM documents
         "drift_psi_textlen": _drift_psi_oracle(hist_case),
         "drift_psi_categorical": _drift_psi_cat_oracle(),
         "media_features_pandas": _MEDIA_FEATURES_SQL,
+        # real PNG decode: oracle recomputes channel sums from the shared
+        # pixel formula (multimodal.png_pixel_value) — exact integers
+        "media_png_decode": """
+WITH ids AS (SELECT doc_id AS media_id,
+                    8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h
+             FROM documents),
+grid AS (
+  SELECT media_id, w, h, gx.x AS x, gy.y AS y
+  FROM ids,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy
+)
+SELECT media_id, w AS width, h AS height,
+       sum((media_id * 3 + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+       sum((media_id * 3 + 7 * x + 13 * y + 31) % 256)::BIGINT AS sum_g,
+       sum((media_id * 3 + 7 * x + 13 * y + 62) % 256)::BIGINT AS sum_b
+FROM grid GROUP BY media_id, w, h
+""",
         # streaming replays: exact SQL functions of the two-phase split
         # under the pinned watermark semantics (streaming/replay.py)
         "stream_windowed_verdicts": _T

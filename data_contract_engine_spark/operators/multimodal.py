@@ -5,12 +5,15 @@ struct; decode / feature-extraction / resize / frame-sampling run as
 Arrow-batched ``mapInPandas`` stages so the payload bytes never round-trip
 through per-row Python.
 
-The actual media decode is STUBBED (no image/audio libs in this
-container): ``decode_media`` raises ``NotImplementedError`` unless a
-``decoder`` callable is injected; ``fake_features`` is the deterministic
-stand-in (byte histogram) used by tests/benchmarks so the Spark-side
-plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
-real and exercised end-to-end.
+Decode support is stdlib-real where the stdlib can parse the format —
+8-bit PNG (zlib inflate + full five-filter unfiltering + CRC checks),
+uncompressed 24-bit BMP, PCM WAV — and STUBBED for codec formats
+(JPEG/MP3/MP4: no image/audio libs in this container): ``decode_media``
+raises ``NotImplementedError`` unless a ``decoder`` callable is
+injected; ``fake_features`` is the deterministic stand-in (byte
+histogram) used by tests/benchmarks so the Spark-side plumbing —
+schema, partitioning, UDF signature, Arrow batch shape — is real and
+exercised end-to-end either way.
 
 Scale notes: payload columns dominate bytes, so (a) metadata-only queries
 must prune the payload column at the scan (select before mapInPandas);
@@ -99,9 +102,10 @@ def fake_features(payload: bytes, n: int = N_FEATURES) -> list:
 def decode_media(payload: bytes, kind: str, mime: str):
     """General media decode — NOT IMPLEMENTED in this container (no
     PIL/ffmpeg/librosa). Inject a ``decoder`` into :func:`extract_features`
-    in a real deployment. For the two formats the Python stdlib CAN parse
-    (uncompressed 24-bit BMP, PCM WAV) use :func:`stdlib_media_decoder` —
-    it exercises the whole decode seam with a real decoder."""
+    in a real deployment. For the formats the Python stdlib CAN parse
+    (8-bit PNG via zlib + full unfiltering, uncompressed 24-bit BMP, PCM
+    WAV) use :func:`stdlib_media_decoder` — it exercises the whole decode
+    seam with real decoders."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} mime={mime!r} requires image/audio "
         "libraries not present in this environment; pass decoder= explicitly"
@@ -167,6 +171,197 @@ def encode_bmp(rows) -> bytes:
     return bytes(header + pixels)
 
 
+# --------------------------------------------------------------------------
+# PNG (stdlib-only): real chunk walk + CRC verification + zlib inflate +
+# full five-filter unfiltering per the PNG spec (RFC 2083 §6). Supports
+# 8-bit non-interlaced grayscale / RGB / gray+alpha / RGBA — the shapes a
+# synthetic-or-screenshot corpus actually contains. JPEG/MP3/MP4 remain
+# behind the documented NotImplementedError seam (no codec libs here).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §6.6): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """(width, height, channels, rows) for an 8-bit non-interlaced PNG.
+    ``rows`` is top-down; each row a list of per-pixel channel tuples.
+    Chunk CRCs are verified; IDAT chunks are concatenated before the one
+    zlib inflate; all five scanline filters (None/Sub/Up/Average/Paeth)
+    are reversed per spec."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(payload[pos + 4: pos + 8 + ln]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA supported "
+            f"(depth={depth}, color_type={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    rows, prior, off = [], bytearray(stride), 0
+    for _y in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1: off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prior[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prior = line
+        rows.append(
+            [tuple(line[x * ch: (x + 1) * ch]) for x in range(w)]
+        )
+    return w, h, ch, rows
+
+
+def encode_png(rows, color_type: int = 2, filter_cycle: bool = True) -> bytes:
+    """Inverse of :func:`decode_png` for fixture generation. ``rows`` is
+    top-down per-pixel channel tuples. With ``filter_cycle`` each
+    scanline y uses filter type y % 5 (forward-filtered per spec), so a
+    round-trip exercises every unfilter path; otherwise filter 0."""
+    import struct
+    import zlib
+
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    raw = bytearray()
+    prior = bytearray(stride)
+    for y in range(h):
+        line = bytearray()
+        for px in rows[y]:
+            line += bytes(px)
+        ftype = (y % 5) if filter_cycle else 0
+        filt = bytearray(stride)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = prior[i]
+            elif ftype == 3:
+                pred = (left + prior[i]) >> 1
+            else:
+                ul = prior[i - ch] if i >= ch else 0
+                pred = _paeth(left, prior[i], ul)
+            filt[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ftype]) + filt
+        prior = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixel_value(media_id: int, x: int, y: int, c: int) -> int:
+    """THE fixture pixel formula — shared contract between the Spark-side
+    encoder (:func:`png_media_from_ids`) and the SQL oracle, which
+    recomputes per-channel sums from it. Any decode bug breaks the gate."""
+    return (media_id * 3 + 7 * x + 13 * y + 31 * c) % 256
+
+
+def png_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic RGB PNG media table: dims (8 + id%16, 4 + id%8),
+    pixels from :func:`png_pixel_value`, scanline filters cycling through
+    all five types. Encoding runs Arrow-batched in mapInPandas — the same
+    plumbing shape a real ingest decoder uses, in reverse."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 16, 4 + mid % 8
+                rows = [
+                    [
+                        tuple(
+                            png_pixel_value(mid, x, y, c) for c in range(3)
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(encode_png(rows, color_type=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/png",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema="media_id long, kind string, mime string, payload binary",
+    )
+
+
 def decode_wav(payload: bytes):
     """(n_channels, sample_rate, n_frames, sample_width_bytes, frames)
     via the stdlib ``wave`` module."""
@@ -187,10 +382,20 @@ def stdlib_media_decoder(
     payload: bytes, kind: str, mime: str, n: int = N_FEATURES
 ) -> list:
     """Real-decode feature extractor for the stdlib-parsable formats:
-    BMP → (width, height, mean B/G/R); WAV → (channels, rate, frames,
-    RMS amplitude). Fixed-width output (zero-padded to ``n``) so it
-    drops into :func:`extract_features` as ``decoder=``."""
-    if mime == "image/bmp":
+    PNG → (width, height, per-channel pixel SUMS — exact integers, so
+    the SQL oracle can certify the decode bit-for-bit); BMP → (width,
+    height, mean B/G/R); WAV → (channels, rate, frames, RMS amplitude).
+    Fixed-width output (zero-padded to ``n``) so it drops into
+    :func:`extract_features` as ``decoder=``."""
+    if mime == "image/png":
+        w, h, ch, rows = decode_png(payload)
+        sums = [0] * ch
+        for row in rows:
+            for px in row:
+                for c in range(ch):
+                    sums[c] += px[c]
+        feats = [float(w), float(h)] + [float(s) for s in sums]
+    elif mime == "image/bmp":
         w, h, rows = decode_bmp(payload)
         npx = float(w * h) or 1.0
         sums = [0.0, 0.0, 0.0]
