@@ -38,6 +38,20 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def timed2(fn):
+    """(first_sec, steady_sec, out): each query runs twice — the first
+    run carries one-off costs (driver plan analysis, codegen, shuffle
+    file creation), the second is steady-state. Both are reported so a
+    regression is attributable to plan cost vs execution cost (round-2
+    verdict item: one bench, two unexplained numbers per query)."""
+    t0 = time.time()
+    fn()
+    first = time.time() - t0
+    t1 = time.time()
+    out = fn()
+    return first, time.time() - t1, out
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,7 +67,12 @@ def main():
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     queries = {}
+    queries_first = {}
     meta = {}
+
+    def run2(name, fn):
+        queries_first[name], queries[name], out = timed2(fn)
+        return out
 
     # q1 — full contract suite over transcripts (the authoritative metric).
     # Small-sf parquet arrives as ONE split; repartition the cached input
@@ -96,17 +115,16 @@ def main():
         rep = run.execute(tempfile.mkdtemp(prefix="dce_bench_viol_"))
         return rep.total_records, rep.total_violation_rows
 
-    queries["full_contract_suite"], (total, n_viol) = timed(full_suite)
+    total, n_viol = run2("full_contract_suite", full_suite)
     meta["validated_turns"] = total
     meta["violations"] = n_viol
     meta["validated_turns_per_sec"] = round(total / queries["full_contract_suite"], 1)
 
-    # q2 — minhash LSH near-dup pipeline over documents (warmup on a tiny
-    # slice first — same steady-state policy as q1)
+    # q2 — minhash LSH near-dup pipeline over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    dedup.minhash_near_duplicates(docs.limit(200), threshold=0.8).count()
-    queries["dedup_minhash_lsh"], _ = timed(
-        lambda: dedup.minhash_near_duplicates(docs, threshold=0.8).count()
+    run2(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_near_duplicates(docs, threshold=0.8).count(),
     )
 
     # q3 — similarity search (exact + LSH) over embeddings
@@ -117,26 +135,71 @@ def main():
         similarity.cosine_topk(emb, qv, 10).collect()
         similarity.ann_lsh_topk(emb, qv, 10, planes=8, probe_hamming=2).collect()
 
-    queries["similarity_search"], _ = timed(sim)
+    run2("similarity_search", sim)
 
     # q4 — relational: pricing summary + 5-way broadcast join
-    queries["tpch_agg_join"], _ = timed(
+    run2(
+        "tpch_agg_join",
         lambda: (
             entrymod.q_pricing_summary(spark, sf_dir).collect(),
             entrymod.q_revenue_by_nation(spark, sf_dir).collect(),
-        )
+        ),
     )
 
     # q5 — text-analysis pipeline over documents (quality + lang + tokens + fp)
-    textstats.quality_features(docs.limit(100)).count()  # warmup
-
     def text_pipeline():
         textstats.quality_features(docs).count()
         textstats.lang_id(docs).count()
         textstats.token_stats(docs).collect()
         textstats.doc_fingerprints(docs).count()
 
-    queries["text_pipeline"], _ = timed(text_pipeline)
+    run2("text_pipeline", text_pipeline)
+
+    # q6/q7 — ADVERSARIAL SKEW twins: same operators on pathologically
+    # skewed keys, so BENCH_r{N}.json carries direct evidence the
+    # aggregation/dedup plans absorb hot keys (map-side partial combine;
+    # LSH banding needs a full band match, not one shared shingle).
+    from data_contract_engine_spark.operators import uniqueness as uniq_op
+
+    # one conversation owns ~10% of ALL turns (deterministic row pick)
+    hot = (
+        tr.withColumn(
+            "conv_id",
+            F.when(
+                F.pmod(F.xxhash64("conv_id", "turn_idx", "text"), F.lit(10))
+                == 0,
+                F.lit("conv_hot"),
+            ).otherwise(F.col("conv_id")),
+        )
+        .repartition(cpus)
+        .cache()
+    )
+    n_hot = hot.filter(F.col("conv_id") == "conv_hot").count()
+    meta["skew_hot_conv_turns"] = n_hot
+    run2(
+        "uniqueness_balanced",
+        lambda: uniq_op.duplicate_report(tr, ["conv_id", "turn_idx"]),
+    )
+    run2(
+        "uniqueness_hot_key",
+        lambda: uniq_op.duplicate_report(hot, ["conv_id", "turn_idx"]),
+    )
+
+    # one shingle shared by ~50% of docs (appended fixed 3-gram)
+    skew_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.col("text"), F.lit(" zq0 zq1 zq2")),
+        ).otherwise(F.col("text")),
+    ).cache()
+    skew_docs.count()
+    run2(
+        "dedup_minhash_hot_shingle",
+        lambda: dedup.minhash_near_duplicates(skew_docs, threshold=0.8).count(),
+    )
+    hot.unpersist()
+    skew_docs.unpersist()
 
     total_sec = sum(queries.values())
     out = {
@@ -144,6 +207,7 @@ def main():
         "value": round(total_sec, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "queries_first_run": {k: round(v, 3) for k, v in queries_first.items()},
         "sf": sf,
         "cpus": cpus,
         "throughput": meta,

@@ -72,13 +72,26 @@ def cmd_validate(args) -> int:
     keys = args.key_columns.split(",") if args.key_columns else None
 
     if args.checkpoint:
+        if getattr(args, "checkpoint_backend", "plain") == "snapshot":
+            # transactional snapshot catalog: atomic commits + idempotent
+            # MERGE keyed by (run_id, partition_key, lineage_hash)
+            from .sources.catalog import (
+                SnapshotParquetCatalog,
+                catalog_checkpoint_store,
+            )
+
+            store = catalog_checkpoint_store(
+                SnapshotParquetCatalog(spark, args.checkpoint), "checkpoints"
+            )
+        else:
+            store = CheckpointStore(spark, args.checkpoint)
         # violations write happens INSIDE the resumable protocol (before
         # the checkpoint flips) for crash-safe resume ordering
         res = validate_resumable(
             engine,
             df,
             contract,
-            CheckpointStore(spark, args.checkpoint),
+            store,
             run_id=args.run_id,
             partition_col=args.partition_col,
             key_columns=keys,
@@ -307,6 +320,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--key-columns", default=None, help="comma-separated")
     v.add_argument("--checkpoint", default=None,
                    help="checkpoint table path (enables resume)")
+    v.add_argument("--checkpoint-backend", default="plain",
+                   choices=("plain", "snapshot"),
+                   help="checkpoint storage: plain parquet appends or the "
+                        "transactional snapshot catalog (atomic commits)")
     v.add_argument("--violations-out", default=None)
     v.add_argument("--summary-out", default=None)
     v.add_argument("--drift-baseline", default=None,

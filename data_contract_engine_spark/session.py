@@ -34,6 +34,11 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # modern timestamp physical type: INT96 (the legacy default)
+        # carries NO parquet footer min/max stats, which both kills scan
+        # row-group pruning on ts predicates and blanks the snapshot
+        # catalog's manifest stats (SnapshotParquetCatalog)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -1,19 +1,28 @@
 """Pluggable table-catalog seam — the Iceberg integration boundary.
 
 The north rule stores transcripts, violations, checkpoints and metrics in
-Iceberg tables. This sandbox has no iceberg-spark-runtime jars (and no
-network to fetch them), so every storage operation the engine needs goes
-through one small ``TableCatalog`` interface with two implementations:
+Iceberg tables. This sandbox has no iceberg-spark-runtime jars and no
+network to fetch them (re-verified round 3: no jar anywhere on disk, DNS
+to Maven Central fails), so every storage operation the engine needs goes
+through one small ``TableCatalog`` interface with three implementations:
 
-* :class:`ParquetCatalog` — the functional emulation used throughout this
-  repo: append/overwrite writes, read-union-rewrite MERGE
-  (`sinks.merge_upsert`), filter-rewrite retention DELETE. Semantics are
-  the contract; performance differs (rewrites instead of metadata ops).
+* :class:`ParquetCatalog` — the plain emulation: append/overwrite writes,
+  read-union-rewrite MERGE (`sinks.merge_upsert`), filter-rewrite
+  retention DELETE. Semantics are the contract; no atomicity.
+* :class:`SnapshotParquetCatalog` — the Iceberg STORAGE MODEL rebuilt
+  from scratch on parquet + JSON manifests: atomic pointer-swap commits,
+  footer-stats manifests, metadata-only retention deletes, snapshot
+  isolation / time travel, snapshot expiry with data-unit GC. This is
+  the recommended local backend — it closes the crash window of the
+  plain emulation's rewrites.
 * :class:`IcebergCatalog` — the real thing: ``MERGE INTO``, ``DELETE
   FROM``, ``CALL <cat>.system.expire_snapshots`` issued via ``spark.sql``
   against a configured catalog. Statement *generation* is deterministic
-  and unit-tested here; *execution* needs the runtime jars plus a catalog
-  config such as::
+  and unit-tested here; *execution* is covered by
+  ``tests/test_catalog.py::test_iceberg_catalog_execution``, which
+  auto-activates the moment an ``iceberg-spark-runtime`` jar appears on
+  the pyspark classpath (or via ``ICEBERG_JAR``) and otherwise skips.
+  Required session config::
 
       spark.sql.catalog.local = org.apache.iceberg.spark.SparkCatalog
       spark.sql.catalog.local.type = hadoop
@@ -174,6 +183,296 @@ class IcebergCatalog(TableCatalog):
             self.delete_sql(table, ts_col, cutoff.strftime("%Y-%m-%d %H:%M:%S"))
         )
         return -1  # Iceberg DELETE is metadata-only; no cheap removed-count
+
+
+class SnapshotParquetCatalog(TableCatalog):
+    """Transactional parquet catalog: Iceberg's storage model rebuilt
+    from scratch on plain parquet + JSON manifests (log-structured
+    snapshot pattern — no runtime jars needed).
+
+    Layout per table::
+
+        <root>/<table>/
+          data/<uuid>/part-*.parquet   one immutable "unit" per committed write
+          snapshots/v<N>.json          manifest: unit list + footer stats + schema
+          VERSION                      current-version pointer (atomic swap)
+
+    Guarantees the plain :class:`ParquetCatalog` cannot give:
+
+    * **atomic commits** — data lands invisible under ``data/``, then the
+      manifest is written, then the VERSION pointer flips via
+      ``os.replace`` (atomic on POSIX). A crash at ANY point leaves the
+      previous snapshot fully readable (at worst an orphaned data unit,
+      reclaimed by :meth:`expire_snapshots`). This closes the
+      crash-loses-the-relation window of ``sinks.filter_rewrite_keep``.
+    * **metadata-only retention** — per-unit min/max column stats are
+      harvested from the parquet FOOTERS at commit (zero data scan);
+      ``delete_older_than`` drops wholly-expired units from the manifest
+      without touching data, rewrites only straddling units.
+    * **snapshot isolation + time travel** — ``read(table, version=N)``
+      reads any retained snapshot; readers of version N are unaffected
+      by concurrent commits of N+1.
+    * **snapshot expiry** — ``expire_snapshots`` prunes old manifests and
+      garbage-collects data units no retained snapshot references.
+
+    Single-writer per table (enforced optimistically: a commit whose
+    parent is no longer current raises ``ConcurrentWriteError``); the
+    multi-writer story is exactly what real Iceberg's catalog locking
+    adds, and this class keeps the same ``TableCatalog`` contract so the
+    swap is config, not code.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- snapshot bookkeeping ---------------------------------------------
+
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.root, table.replace(".", "/"))
+
+    def _version(self, table: str) -> int:
+        try:
+            with open(os.path.join(self._dir(table), "VERSION")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _snapshot(self, table: str, version: Optional[int] = None) -> Optional[dict]:
+        import json
+
+        v = self._version(table) if version is None else version
+        if v <= 0:
+            return None
+        path = os.path.join(self._dir(table), "snapshots", f"v{v}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_unit(self, table: str, df: DataFrame) -> dict:
+        """Write one immutable data unit; stats come from parquet footers
+        (no extra scan of the data)."""
+        import uuid as _uuid
+
+        rel = os.path.join("data", _uuid.uuid4().hex)
+        path = os.path.join(self._dir(table), rel)
+        df.write.parquet(path)
+        rows, stats = _parquet_footer_stats(path)
+        return {"path": rel, "rows": rows, "stats": stats}
+
+    def _commit(self, table: str, parent: int, units, op: str,
+                schema_json: str) -> None:
+        import datetime as _dt
+        import json
+
+        tdir = self._dir(table)
+        os.makedirs(os.path.join(tdir, "snapshots"), exist_ok=True)
+        if self._version(table) != parent:
+            raise ConcurrentWriteError(
+                f"table {table!r}: version moved past {parent} during commit"
+            )
+        new_v = parent + 1
+        snap = {
+            "version": new_v,
+            "parent": parent or None,
+            "ts": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "operation": op,
+            "schema": schema_json,
+            "units": list(units),
+        }
+        with open(os.path.join(tdir, "snapshots", f"v{new_v}.json"), "w") as f:
+            json.dump(snap, f)
+        tmp = os.path.join(tdir, "VERSION.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(tdir, "VERSION"))  # THE atomic commit
+
+    # -- TableCatalog interface -------------------------------------------
+
+    def append(self, table: str, df: DataFrame) -> None:
+        parent = self._version(table)
+        prev = self._snapshot(table)
+        units = list(prev["units"]) if prev else []
+        units.append(self._write_unit(table, df))
+        self._commit(table, parent, units, "append", df.schema.json())
+
+    def overwrite(self, table: str, df: DataFrame) -> None:
+        parent = self._version(table)
+        self._commit(
+            table, parent, [self._write_unit(table, df)], "overwrite",
+            df.schema.json(),
+        )
+
+    def read(self, table: str, version: Optional[int] = None) -> Optional[DataFrame]:
+        import json
+
+        from pyspark.sql import types as T
+
+        snap = self._snapshot(table, version)
+        if snap is None:
+            return None
+        paths = [os.path.join(self._dir(table), u["path"]) for u in snap["units"]]
+        if not paths:
+            schema = T.StructType.fromJson(json.loads(snap["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def merge(self, table: str, updates: DataFrame, keys: Sequence[str]) -> None:
+        from pyspark.sql import functions as F  # noqa: F401
+
+        parent = self._version(table)
+        existing = self.read(table)
+        if existing is None:
+            merged = updates
+        else:
+            merged = existing.join(
+                updates.select(*keys).distinct(), on=list(keys), how="left_anti"
+            ).unionByName(updates)
+        # single new unit; the old snapshot stays readable until the flip
+        unit = self._write_unit(table, merged)
+        self._commit(table, parent, [unit], "merge", updates.schema.json())
+
+    def delete_older_than(self, table: str, ts_col: str, cutoff) -> int:
+        """Metadata-first retention: units whose footer max(ts) < cutoff
+        are DROPPED from the manifest (no data read); units with
+        min(ts) >= cutoff are kept untouched; only straddling units (or
+        ones without footer stats) are rewritten."""
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot(table)
+        if snap is None:
+            return 0
+        parent = snap["version"]
+        kept_units, removed = [], 0
+        for unit in snap["units"]:
+            st = (unit.get("stats") or {}).get(ts_col)
+            lo = _parse_stat(st and st.get("min"))
+            hi = _parse_stat(st and st.get("max"))
+            if hi is not None and hi < cutoff:
+                removed += unit["rows"]          # whole unit expired: drop
+                continue
+            if lo is not None and lo >= cutoff:
+                kept_units.append(unit)          # untouched
+                continue
+            # straddling (or statless): rewrite just this unit
+            df = self.spark.read.parquet(
+                os.path.join(self._dir(table), unit["path"])
+            ).filter(F.col(ts_col) >= F.lit(cutoff))
+            new_unit = self._write_unit(table, df)
+            removed += unit["rows"] - new_unit["rows"]
+            if new_unit["rows"]:
+                kept_units.append(new_unit)
+        self._commit(table, parent, kept_units, "delete", snap["schema"])
+        return removed
+
+    # -- maintenance --------------------------------------------------------
+
+    def expire_snapshots(self, table: str, retain_last: int = 5) -> dict:
+        """Prune manifests beyond the newest ``retain_last`` and
+        garbage-collect data units no retained snapshot references —
+        the vacuum that bounds storage growth from merge/delete rewrites.
+        Returns {'snapshots': n_removed, 'units': n_removed}."""
+        import shutil
+
+        tdir = self._dir(table)
+        current = self._version(table)
+        if current == 0:
+            return {"snapshots": 0, "units": 0}
+        keep_versions = set(range(max(1, current - retain_last + 1), current + 1))
+        sdir = os.path.join(tdir, "snapshots")
+        removed_snaps = 0
+        for name in os.listdir(sdir):
+            v = int(name[1:-5])  # v<N>.json
+            if v not in keep_versions:
+                os.remove(os.path.join(sdir, name))
+                removed_snaps += 1
+        referenced = set()
+        for v in keep_versions:
+            snap = self._snapshot(table, v)
+            if snap:
+                referenced.update(u["path"] for u in snap["units"])
+        ddir = os.path.join(tdir, "data")
+        removed_units = 0
+        for name in os.listdir(ddir) if os.path.isdir(ddir) else []:
+            rel = os.path.join("data", name)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(ddir, name), ignore_errors=True)
+                removed_units += 1
+        return {"snapshots": removed_snaps, "units": removed_units}
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency failure: the table version advanced between
+    the read of the parent snapshot and the commit attempt."""
+
+
+def _parquet_footer_stats(path: str):
+    """(row_count, {col: {'min': iso/val, 'max': iso/val}}) from parquet
+    FOOTER metadata only — the manifest-stats harvest, zero data read.
+    Columns without usable footer stats are omitted (treated as
+    unknown → conservatively rewritten on delete)."""
+    import datetime as _dt
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = 0
+    mins: dict = {}
+    maxs: dict = {}
+    seen_nostat = set()
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested leaves: not prunable top-level
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    seen_nostat.add(name)
+                    continue
+                lo, hi = st.min, st.max
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+
+    def enc(v):
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return {"t": "ts", "v": v.isoformat()}
+        if isinstance(v, (int, float)):
+            return {"t": "num", "v": v}
+        if isinstance(v, str):
+            return {"t": "str", "v": v}
+        if isinstance(v, bytes):
+            return None
+        return None
+
+    stats = {}
+    for name in mins:
+        if name in seen_nostat:
+            continue  # some row group lacked stats: unknown overall
+        lo, hi = enc(mins[name]), enc(maxs[name])
+        if lo is not None and hi is not None:
+            stats[name] = {"min": lo, "max": hi}
+    return rows, stats
+
+
+def _parse_stat(v):
+    """Decode a manifest stat value back to a comparable Python object."""
+    import datetime as _dt
+
+    if not v:
+        return None
+    if v["t"] == "ts":
+        parsed = _dt.datetime.fromisoformat(v["v"])
+        return parsed.replace(tzinfo=None) if parsed.tzinfo else parsed
+    return v["v"]
 
 
 def catalog_checkpoint_store(catalog: TableCatalog, table: str):

@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 from data_contract_engine_spark import ContractEngine, parse_contract_yaml
 from data_contract_engine_spark.checkpoint import validate_resumable
 from data_contract_engine_spark.sources.catalog import (
+    ConcurrentWriteError,
     IcebergCatalog,
     ParquetCatalog,
+    SnapshotParquetCatalog,
     catalog_checkpoint_store,
 )
 
@@ -29,9 +31,12 @@ schema:
 """
 
 
-@pytest.fixture()
-def pcat(spark, tmp_path):
-    return ParquetCatalog(spark, str(tmp_path / "warehouse"))
+@pytest.fixture(params=["parquet", "snapshot"])
+def pcat(spark, tmp_path, request):
+    """The catalog CONTRACT tests run against every local backend: the
+    plain parquet emulation and the transactional snapshot catalog."""
+    cls = {"parquet": ParquetCatalog, "snapshot": SnapshotParquetCatalog}
+    return cls[request.param](spark, str(tmp_path / "warehouse"))
 
 
 def test_catalog_append_read_merge_contract(spark, pcat):
@@ -135,3 +140,217 @@ def test_iceberg_merge_sql_key_only_table(spark):
     sql = cat.merge_sql("seen", "src", keys=("k",), columns=("k",))
     assert "UPDATE SET" not in sql
     assert "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)" in sql
+
+
+# ---------------------------------------------------------------------------
+# SnapshotParquetCatalog-specific guarantees (the Iceberg storage model
+# rebuilt on parquet + JSON manifests)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def scat(spark, tmp_path):
+    return SnapshotParquetCatalog(spark, str(tmp_path / "snap_wh"))
+
+
+def test_snapshot_commit_is_atomic(spark, scat, tmp_path):
+    """A crash between data write and pointer flip must leave the previous
+    snapshot fully readable: simulate by writing a data unit + manifest
+    but NOT flipping VERSION — readers still see the old version."""
+    import json
+    import os
+
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    scat.overwrite("t", df1)
+    assert scat.read("t").count() == 1
+
+    # simulate the torn write: unit + manifest for v2 exist, pointer not
+    # flipped (crash just before os.replace)
+    tdir = scat._dir("t")
+    unit = scat._write_unit("t", spark.createDataFrame(
+        [("b", 2), ("c", 3)], "k string, v int"))
+    with open(os.path.join(tdir, "snapshots", "v2.json"), "w") as f:
+        json.dump({"version": 2, "parent": 1, "ts": "x", "operation":
+                   "append", "schema": df1.schema.json(),
+                   "units": [unit]}, f)
+    got = {r["k"] for r in scat.read("t").collect()}
+    assert got == {"a"}  # old snapshot intact; torn v2 invisible
+
+    # and the orphaned v2 state does not block a NEW commit (it is
+    # overwritten by the next real commit at version 2)
+    scat.append("t", spark.createDataFrame([("d", 4)], "k string, v int"))
+    assert {r["k"] for r in scat.read("t").collect()} == {"a", "d"}
+
+
+def test_snapshot_time_travel_and_isolation(spark, scat):
+    df1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    df2 = spark.createDataFrame([("b", 2)], "k string, v int")
+    scat.overwrite("t", df1)
+    scat.append("t", df2)
+    v1 = scat.read("t", version=1)
+    assert {r["k"] for r in v1.collect()} == {"a"}
+    assert {r["k"] for r in scat.read("t").collect()} == {"a", "b"}
+    # snapshot isolation: a reader holding v2's plan is unaffected by v3
+    v2 = scat.read("t")
+    scat.overwrite("t", spark.createDataFrame([("z", 9)], "k string, v int"))
+    assert {r["k"] for r in v2.collect()} == {"a", "b"}
+
+
+def test_snapshot_metadata_only_delete(spark, scat):
+    """Units wholly past retention are dropped from the manifest WITHOUT
+    rewriting surviving data: the kept unit's directory must be the same
+    one the original append created (no rewrite), the expired unit's
+    rows disappear, and a straddling unit is rewritten."""
+    import datetime as dt
+    import os
+
+    now = dt.datetime(2026, 6, 1)
+    old = [("old", now - dt.timedelta(days=200 + i)) for i in range(3)]
+    new = [("new", now - dt.timedelta(days=i + 1)) for i in range(3)]
+    mixed = [("mix_old", now - dt.timedelta(days=150)),
+             ("mix_new", now - dt.timedelta(days=2))]
+    ddl = "k string, validated_at timestamp"
+    scat.append("hist", spark.createDataFrame(old, ddl))
+    scat.append("hist", spark.createDataFrame(new, ddl))
+    scat.append("hist", spark.createDataFrame(mixed, ddl))
+    units_before = {u["path"]: u for u in scat._snapshot("hist")["units"]}
+    keep_unit = next(
+        p for p, u in units_before.items()
+        if u["stats"]["validated_at"]["min"]["v"] >
+        (now - dt.timedelta(days=90)).isoformat()
+    )
+
+    removed = scat.delete_older_than(
+        "hist", "validated_at", now - dt.timedelta(days=90)
+    )
+    assert removed == 4  # 3 old + mix_old
+    rows = {r["k"] for r in scat.read("hist").collect()}
+    assert rows == {"new", "mix_new"}
+    units_after = [u["path"] for u in scat._snapshot("hist")["units"]]
+    assert keep_unit in units_after  # untouched, not rewritten
+    assert len(units_after) == 2     # kept + rewritten straddler
+
+    # time travel still sees the pre-delete data until snapshots expire
+    pre = scat.read("hist", version=3)
+    assert pre.count() == 8
+
+    # expire: keep only the latest snapshot; orphaned units are GC'd
+    res = scat.expire_snapshots("hist", retain_last=1)
+    assert res["snapshots"] == 3 and res["units"] == 2
+    assert scat.read("hist", version=3) is None
+    assert {r["k"] for r in scat.read("hist").collect()} == {"new", "mix_new"}
+    data_dirs = os.listdir(os.path.join(scat._dir("hist"), "data"))
+    assert len(data_dirs) == 2
+
+
+def test_snapshot_concurrent_write_detected(spark, scat):
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    scat.overwrite("t", df)
+    # writer 1 reads parent=1, writer 2 commits first
+    parent = scat._version("t")
+    unit = scat._write_unit("t", df)
+    scat.append("t", df)  # version -> 2
+    with pytest.raises(ConcurrentWriteError):
+        scat._commit("t", parent, [unit], "append", df.schema.json())
+
+
+def test_snapshot_merge_atomic_and_idempotent(spark, scat):
+    df = spark.createDataFrame([("r", "a", 1)], "run_id string, k string, v int")
+    scat.append("results", df)
+    upd = spark.createDataFrame(
+        [("r", "a", 10), ("r", "b", 2)], "run_id string, k string, v int"
+    )
+    scat.merge("results", upd, keys=("run_id", "k"))
+    scat.merge("results", upd, keys=("run_id", "k"))
+    got = {r["k"]: r["v"] for r in scat.read("results").collect()}
+    assert got == {"a": 10, "b": 2}
+    # each merge = one new single-unit snapshot; history retained
+    assert scat._version("results") == 3
+
+
+# ---------------------------------------------------------------------------
+# Real Iceberg execution — auto-activates when the runtime jars appear.
+# Round-3 environment check: no iceberg-spark-runtime*.jar anywhere on
+# disk and no network route to Maven Central (DNS resolution fails), so
+# this remains skip-gated; the scenario is ready to run unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_jar():
+    import glob
+    import os
+
+    import pyspark
+
+    hits = glob.glob(
+        os.path.join(os.path.dirname(pyspark.__file__), "jars",
+                     "iceberg-spark-runtime*.jar")
+    )
+    return (hits + [os.environ.get("ICEBERG_JAR")])[0] if (
+        hits or os.environ.get("ICEBERG_JAR")
+    ) else None
+
+
+@pytest.mark.skipif(
+    _iceberg_jar() is None,
+    reason="iceberg-spark-runtime jars absent (no network in sandbox)",
+)
+def test_iceberg_catalog_execution(tmp_path):
+    """The SAME contract scenario the local backends pass, executed
+    against a real Iceberg hadoop catalog (own session via subprocess —
+    extensions must be set at session build)."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import datetime as dt, json
+        from data_contract_engine_spark import build_session
+        from data_contract_engine_spark.sources.catalog import IcebergCatalog
+        spark = build_session(app_name="iceberg-exec", master="local[2]",
+            shuffle_partitions=2, extra_conf={{
+            "spark.jars": {_iceberg_jar()!r},
+            "spark.sql.extensions":
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions",
+            "spark.sql.catalog.local":
+                "org.apache.iceberg.spark.SparkCatalog",
+            "spark.sql.catalog.local.type": "hadoop",
+            "spark.sql.catalog.local.warehouse": {str(tmp_path / "wh")!r},
+        }})
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS local.dce")
+        cat = IcebergCatalog(spark, catalog="local", namespace="dce")
+        spark.sql("CREATE TABLE local.dce.results "
+                  "(run_id string, k string, v int) USING iceberg")
+        df = spark.createDataFrame([("r1","a",1),("r1","b",2)],
+                                   "run_id string, k string, v int")
+        cat.append("results", df)
+        upd = spark.createDataFrame([("r1","b",20),("r1","c",3)],
+                                    "run_id string, k string, v int")
+        cat.merge("results", upd, keys=("run_id","k"))
+        cat.merge("results", upd, keys=("run_id","k"))
+        got = {{r["k"]: r["v"] for r in cat.read("results").collect()}}
+        spark.sql("CREATE TABLE local.dce.hist "
+                  "(k string, validated_at timestamp) USING iceberg")
+        now = dt.datetime(2026, 6, 1)
+        rows = [("x", now - dt.timedelta(days=d)) for d in (1, 50, 200)]
+        cat.append("hist", spark.createDataFrame(
+            rows, "k string, validated_at timestamp"))
+        cat.delete_older_than("hist", "validated_at",
+                              now - dt.timedelta(days=90))
+        n_hist = cat.read("hist").count()
+        spark.sql(cat.expire_snapshots_sql(
+            "hist", now.strftime("%Y-%m-%d %H:%M:%S"), retain_last=1))
+        print("RESULT " + json.dumps({{"merge": got, "hist": n_hist}}))
+        spark.stop()
+    """)
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        cwd="/root/repo", timeout=600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")]
+    assert line, f"no RESULT line; stderr tail: {out.stderr[-2000:]}"
+    res = json.loads(line[0][7:])
+    assert res["merge"] == {"a": 1, "b": 20, "c": 3}
+    assert res["hist"] == 2

@@ -206,3 +206,29 @@ def test_dedup_clusters_output(spark, tmp_path, capsys, monkeypatch):
     got = {r["id"]: r["cluster_id"]
            for r in spark.read.parquet(cl).collect()}
     assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_validate_snapshot_checkpoint_backend(spark, tmp_path, capsys,
+                                              monkeypatch):
+    """--checkpoint-backend snapshot: resume runs through the
+    transactional SnapshotParquetCatalog (atomic commits, MERGE-keyed
+    checkpoint rows) instead of plain parquet appends."""
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    args = [
+        "validate",
+        "--input", "/root/testdata/sf0.001/events.parquet",
+        "--derive-transcripts",
+        "--contract-template", "flagship",
+        "--run-id", "snap-cli",
+        "--key-columns", "conv_id,turn_idx",
+        "--checkpoint", str(tmp_path / "snap_ckpt"),
+        "--checkpoint-backend", "snapshot",
+    ]
+    assert cli.main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["total"] == 1005 and out["failed"] == 20
+    assert cli.main(args) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["status"] == "ALREADY_DONE"
+    # the checkpoint relation lives in the snapshot catalog's layout
+    assert (tmp_path / "snap_ckpt" / "checkpoints" / "VERSION").exists()
