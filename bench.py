@@ -201,7 +201,14 @@ def main():
     hot.unpersist()
     skew_docs.unpersist()
 
-    total_sec = sum(queries.values())
+    # the headline total stays the SAME 5-query suite as rounds 1-2 so the
+    # per-round series remains comparable; the skew twins are reported in
+    # "queries" but not summed into it
+    headline = (
+        "full_contract_suite", "dedup_minhash_lsh", "similarity_search",
+        "tpch_agg_join", "text_pipeline",
+    )
+    total_sec = sum(queries[k] for k in headline)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(total_sec, 3),
