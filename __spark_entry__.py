@@ -708,6 +708,66 @@ def q_stream_microbatch_engine(spark, sf_dir):
     )
 
 
+def q_stream_drift_monitor(spark, sf_dir):
+    """Streaming drift under the oracle gate: drift_monitor scores each
+    micro-batch's PSI/KL against a snapshot whose edges (fixed TEXTLEN
+    bins) and categories (phase A's distinct roles) are SQL-replicable —
+    no percentile sketch in the loop. Phase A scored against its own
+    snapshot gives exactly 0 drift; phase B's scores replay the
+    epsilon-smoothed arithmetic over the fixed bucket space."""
+    import tempfile
+
+    from data_contract_engine_spark.operators import drift as drift_op
+    from data_contract_engine_spark.streaming.replay import (
+        replay_phases_foreach,
+    )
+    from data_contract_engine_spark.streaming.validate import drift_monitor
+
+    a, b = _stream_phases(spark, sf_dir)
+    exprs = {"textlen": "length(text)", "role": "role"}
+    cats = sorted(
+        r["role"]
+        for r in a.select("role")
+        .where(F.col("role").isNotNull())
+        .distinct()
+        .collect()
+    )
+    agg_exprs = drift_op.multi_histogram_exprs(
+        {"textlen": TEXTLEN_EDGES}, exprs
+    ) + drift_op.categorical_histogram_exprs({"role": cats}, exprs)
+    row = a.agg(*agg_exprs).collect()[0].asDict()
+    snapshot = {
+        "textlen": {
+            "edges": list(TEXTLEN_EDGES),
+            "counts": drift_op.decode_histogram_row(
+                row, "textlen", len(TEXTLEN_EDGES) + 1
+            ),
+        },
+        "role": {
+            "cats": cats,
+            "counts": drift_op.decode_histogram_row(
+                row, "role", len(cats) + 1
+            ),
+        },
+    }
+    results = []
+    handler = drift_monitor(
+        snapshot, exprs, lambda bid, scores: results.append(scores)
+    )
+    replay_phases_foreach(
+        spark, [a, b], handler, tempfile.mkdtemp(prefix="dce_sdm_")
+    )
+    rows = [
+        (phase, col, round(float(s.psi), 6), round(float(s.kl), 6),
+         int(s.bins))
+        for phase, scores in enumerate(results)
+        for col, s in sorted(scores.items())
+    ]
+    return spark.createDataFrame(
+        rows, "phase long, col string, psi double, kl double, bins long"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_violation_counts": q_violation_counts,
@@ -754,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
+        "stream_drift_monitor": q_stream_drift_monitor,
     }
 
 
@@ -1003,6 +1064,73 @@ ORDER BY sim DESC, vec_id LIMIT 10
 
 _EPS = 1e-6  # drift epsilon (data_contract_engine_spark.operators.drift.EPS)
 _HASH_SPACE = 1_000_000  # sampling.HASH_SPACE
+
+
+def _stream_drift_oracle(hist_case: str) -> str:
+    """Replays drift_monitor's per-batch arithmetic: fixed bucket spaces
+    (textlen edge bins; phase-A role categories + __other__), baseline =
+    phase A's own histogram, epsilon-smoothed PSI/KL per phase. Every
+    interpolated fragment is fully parenthesized."""
+    p = f"((t.c + {_EPS}) / (s.sc + {_EPS} * s.nb))"
+    q = f"((t.b + {_EPS}) / (s.sb + {_EPS} * s.nb))"
+    n_bins = len(TEXTLEN_EDGES)
+    return (
+        _T
+        + f"""
+, a AS (SELECT * FROM transcripts
+        WHERE ts >= TIMESTAMP '{_STREAM_LO}'
+          AND ts <  TIMESTAMP '{_STREAM_SPLIT}'),
+b AS (SELECT * FROM transcripts
+      WHERE ts >= TIMESTAMP '{_STREAM_SPLIT}'
+         OR ts <  TIMESTAMP '{_STREAM_LO}'),
+phased AS (SELECT 0 AS phase, text, role FROM a
+           UNION ALL SELECT 1, text, role FROM b),
+phs AS (SELECT 0 AS phase UNION ALL SELECT 1),
+tl_obs AS (SELECT phase, ({hist_case}) AS bin, count(*) AS c
+           FROM phased GROUP BY 1, 2),
+bins AS (SELECT unnest(generate_series(0, {n_bins})) AS bin),
+tl AS (
+  SELECT phs.phase, bins.bin, coalesce(o.c, 0)::DOUBLE AS c,
+         coalesce(bs.c, 0)::DOUBLE AS b
+  FROM phs CROSS JOIN bins
+  LEFT JOIN tl_obs o ON o.phase = phs.phase AND o.bin = bins.bin
+  LEFT JOIN (SELECT bin, c FROM tl_obs WHERE phase = 0) bs
+         ON bs.bin = bins.bin
+),
+tl_sum AS (SELECT phase, sum(c) AS sc, sum(b) AS sb, count(*) AS nb
+           FROM tl GROUP BY 1),
+cats AS (SELECT DISTINCT role AS cat FROM a WHERE role IS NOT NULL),
+rb AS (SELECT cat FROM cats UNION ALL SELECT '__other__'),
+r_obs AS (
+  SELECT phase,
+         CASE WHEN role IN (SELECT cat FROM cats) THEN role
+              ELSE '__other__' END AS cat,
+         count(*) AS c
+  FROM phased WHERE role IS NOT NULL GROUP BY 1, 2
+),
+r AS (
+  SELECT phs.phase, rb.cat, coalesce(o.c, 0)::DOUBLE AS c,
+         coalesce(bs.c, 0)::DOUBLE AS b
+  FROM phs CROSS JOIN rb
+  LEFT JOIN r_obs o ON o.phase = phs.phase AND o.cat = rb.cat
+  LEFT JOIN (SELECT cat, c FROM r_obs WHERE phase = 0) bs
+         ON bs.cat = rb.cat
+),
+r_sum AS (SELECT phase, sum(c) AS sc, sum(b) AS sb, count(*) AS nb
+          FROM r GROUP BY 1)
+SELECT t.phase::BIGINT AS phase, 'textlen' AS col,
+       round(sum(({p} - {q}) * ln({p} / {q})), 6) AS psi,
+       round(sum({p} * ln({p} / {q})), 6) AS kl,
+       max(s.nb)::BIGINT AS bins
+FROM tl t JOIN tl_sum s ON s.phase = t.phase GROUP BY 1
+UNION ALL
+SELECT t.phase::BIGINT, 'role',
+       round(sum(({p} - {q}) * ln({p} / {q})), 6),
+       round(sum({p} * ln({p} / {q})), 6),
+       max(s.nb)::BIGINT
+FROM r t JOIN r_sum s ON s.phase = t.phase GROUP BY 1
+"""
+    )
 
 
 def _drift_psi_oracle(hist_case: str) -> str:
@@ -1343,6 +1471,7 @@ SELECT 1::BIGINT, count(*)::BIGINT,
        sum(CASE WHEN {_FAIL} THEN 1 ELSE 0 END)::BIGINT
 FROM b
 """,
+        "stream_drift_monitor": _stream_drift_oracle(hist_case),
         "repetition_features": _REPETITION_SQL,
         "pii_redaction": _pii_oracle(),
         "dedup_clusters": _CLUSTERS_SQL,

@@ -379,12 +379,24 @@ class ValidationRun:
         rules = self.contract.quality
         if not rules.uniqueness:
             return []
+        keys = rules.uniqueness.get("fields", [])
+        if len(keys) > 1 and not self.engine.salted_aggregates:
+            # all keys in ONE job via GROUPING SETS (one fact scan); the
+            # explicit-salt variant keeps the per-key loop (its two-stage
+            # plan doesn't compose with grouping sets)
+            reports = uniq_op.multi_duplicate_reports(self.df, keys)
+        else:
+            reports = {
+                (k if isinstance(k, str) else ",".join(k)):
+                uniq_op.duplicate_report(
+                    self.df, k, salted=self.engine.salted_aggregates
+                )
+                for k in keys
+            }
         out: List[QualityError] = []
-        for key in rules.uniqueness.get("fields", []):
+        for key in keys:
             label = key if isinstance(key, str) else ",".join(key)
-            n_dups, top = uniq_op.duplicate_report(
-                self.df, key, salted=self.engine.salted_aggregates
-            )
+            n_dups, top = reports[label]
             if n_dups:
                 out.append(
                     QualityError(

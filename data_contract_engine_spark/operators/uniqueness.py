@@ -91,6 +91,88 @@ def duplicate_report(
     return n_dups, top
 
 
+def multi_duplicate_reports(
+    df: DataFrame, keys: Sequence[KeySpec], top_n: int = 5
+):
+    """{label: (n_duplicate_keys, top strings)} for ALL configured
+    uniqueness keys in ONE job (round-3 twin of the fused table-backed
+    referential check): project the union of key columns once, aggregate
+    every key via GROUPING SETS — one scan of the fact table, one Expand
+    over the (narrow) projected key columns, one count aggregate, then a
+    second tiny aggregate computing per-key counts + top-N over the
+    duplicates relation, one collect. Per-key results are identical to
+    :func:`duplicate_report` (pinned by
+    tests/test_quality.py::test_multi_uniqueness_single_job).
+
+    Grouping-set NULL conflation is not an issue: grouping_id() keys the
+    second stage, so set membership never rides on NULL-ness and data
+    NULLs group normally inside their own set.
+    """
+    key_lists = [_key_cols(k) for k in keys]
+    all_cols: List[str] = []
+    for cols in key_lists:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+    base = df.select(*all_cols)  # prune BEFORE the Expand
+    gs = (
+        base.groupingSets([list(c) for c in key_lists], *[F.col(c) for c in all_cols])
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.grouping_id().alias("__gid"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+    # grouping_id: bit i set when all_cols[i] is NOT in the grouping set
+    gids = []
+    for cols in key_lists:
+        gid = 0
+        for i, c in enumerate(all_cols):
+            if c not in cols:
+                gid |= 1 << (len(all_cols) - 1 - i)
+        gids.append(gid)
+    key_str = None
+    for gid, cols in zip(gids, key_lists):
+        s = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        key_str = (
+            F.when(F.col("__gid") == gid, s)
+            if key_str is None
+            else key_str.when(F.col("__gid") == gid, s)
+        )
+    rows = (
+        gs.groupBy("__gid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("dup_count")).alias("neg"),
+                            key_str.alias("k"),
+                            F.col("dup_count").alias("c"),
+                        )
+                    )
+                ),
+                1,
+                top_n,
+            ).alias("top"),
+        )
+        .collect()
+    )
+    by_gid = {r["__gid"]: r for r in rows}
+    out = {}
+    for key, gid in zip(keys, gids):
+        label = key if isinstance(key, str) else ",".join(_key_cols(key))
+        r = by_gid.get(gid)
+        if r is None:
+            out[label] = (0, [])
+        else:
+            out[label] = (
+                r["n"], [f"'{t['k']}' ({t['c']}x)" for t in (r["top"] or [])]
+            )
+    return out
+
+
 def duplicate_violations(
     df: DataFrame,
     key: KeySpec,

@@ -384,3 +384,64 @@ def test_referential_table_vocabs_single_job(spark, monkeypatch):
     assert by_field["role"].message.startswith(
         "Field 'role' has 1 values outside the reference vocabulary:"
     )
+
+
+def test_multi_uniqueness_single_job(spark, monkeypatch):
+    """k uniqueness keys → ONE collected GROUPING-SETS query; per-key
+    results identical to the per-key duplicate_report path."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    from data_contract_engine_spark.operators import uniqueness as uniq_op
+
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "y"),
+         ("b", 3, "y"), (None, 4, "z"), (None, 4, "z")],
+        "conv_id string, turn_idx int, src string",
+    )
+    keys = [["conv_id", "turn_idx"], "src", "conv_id"]
+
+    collected = []
+    real_collect = ClassicDF.collect
+
+    def spy(frame):
+        collected.append(frame)
+        return real_collect(frame)
+
+    monkeypatch.setattr(ClassicDF, "collect", spy)
+    fused = uniq_op.multi_duplicate_reports(df, keys)
+    monkeypatch.undo()
+    assert len(collected) == 1
+
+    for key in keys:
+        label = key if isinstance(key, str) else ",".join(key)
+        assert fused[label] == uniq_op.duplicate_report(
+            df, key, salted=False
+        ), label
+    # NULL keys participate as values (reference parity), and the fused
+    # path keeps that: (NULL, 4) is a duplicate composite key
+    assert fused["conv_id,turn_idx"][0] == 2  # ('a',1) and (NULL,4)
+
+    # engine path: a 2-key contract produces both QualityErrors from the
+    # fused job with pinned messages
+    contract = contract_from_dict(
+        {
+            "contract_version": "1.0",
+            "schema": {"conv_id": {"type": "string", "required": False}},
+            "quality_rules": {
+                "uniqueness": {"fields": [["conv_id", "turn_idx"], "src"]}
+            },
+        }
+    )
+    rep = (
+        ContractEngine(spark)
+        .validate(df, contract, key_columns=["conv_id"])
+        .report()
+    )
+    uniq_errors = [
+        e for e in rep.quality.errors if e.rule_type == "UNIQUENESS"
+    ]
+    assert {e.details["field"] for e in uniq_errors} == {
+        "conv_id,turn_idx", "src",
+    }
+    by_field = {e.details["field"]: e for e in uniq_errors}
+    assert "'y' (3x)" in by_field["src"].message
