@@ -448,46 +448,19 @@ class ValidationRun:
         rules = self.contract.quality
         if not rules.referential:
             return []
-        vocab_cols: List[tuple] = []
+        vocabs: Dict[str, tuple] = {}
         for column, spec in rules.referential.items():
             if "values" in spec:
                 continue  # handled in the fused agg
             vocab = self._resolve_vocab(column, spec)
             if vocab is None:
                 continue
-            vc = spec.get("column") or column
-            marker = f"__refvocab__{column}"
-            vocab_cols.append(
-                (column, vocab.select(F.col(vc).alias(marker)).distinct())
-            )
-        if not vocab_cols:
+            vocabs[column] = (vocab, spec.get("column"))
+        if not vocabs:
             return []
-        joined = self.df
-        for column, vocab_keys in vocab_cols:
-            joined = joined.join(
-                F.broadcast(vocab_keys),
-                on=F.col(column) == F.col(f"__refvocab__{column}"),
-                how="left",
-            )
-        aggs = []
-        for column, _ in vocab_cols:
-            bad = F.col(column).isNotNull() & F.col(
-                f"__refvocab__{column}"
-            ).isNull()
-            aggs.append(F.sum(bad.cast("long")).alias(f"__refn__{column}"))
-            aggs.append(
-                F.slice(
-                    F.sort_array(
-                        F.collect_set(
-                            F.when(bad, F.col(column).cast("string"))
-                        )
-                    ),
-                    1, 5,
-                ).alias(f"__refex__{column}")
-            )
-        row = joined.agg(*aggs).collect()[0]
+        row = ref_op.fused_vocab_miss_agg(self.df, vocabs).collect()[0]
         out: List[QualityError] = []
-        for column, _ in vocab_cols:
+        for column in vocabs:
             n = row[f"__refn__{column}"] or 0
             if n:
                 out.append(

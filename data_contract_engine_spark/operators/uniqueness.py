@@ -91,6 +91,41 @@ def duplicate_report(
     return n_dups, top
 
 
+def multi_duplicate_counts(df: DataFrame, keys: Sequence[KeySpec]):
+    """(duplicates_frame, gids, key_lists): duplicate groups for ALL
+    configured keys from ONE scan — project the union of key columns,
+    GROUPING SETS aggregate (one Expand over the narrow projection, one
+    count hash-agg with map-side combine), keep groups with count > 1.
+    ``__gid`` (grouping_id) identifies which key each row belongs to;
+    ``gids[i]`` is the id for ``keys[i]``."""
+    key_lists = [_key_cols(k) for k in keys]
+    all_cols: List[str] = []
+    for cols in key_lists:
+        for c in cols:
+            if c not in all_cols:
+                all_cols.append(c)
+    base = df.select(*all_cols)  # prune BEFORE the Expand
+    gs = (
+        base.groupingSets(
+            [list(c) for c in key_lists], *[F.col(c) for c in all_cols]
+        )
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.grouping_id().alias("__gid"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+    # grouping_id: bit i set when all_cols[i] is NOT in the grouping set
+    gids = []
+    for cols in key_lists:
+        gid = 0
+        for i, c in enumerate(all_cols):
+            if c not in cols:
+                gid |= 1 << (len(all_cols) - 1 - i)
+        gids.append(gid)
+    return gs, gids, key_lists
+
+
 def multi_duplicate_reports(
     df: DataFrame, keys: Sequence[KeySpec], top_n: int = 5
 ):
@@ -108,29 +143,7 @@ def multi_duplicate_reports(
     second stage, so set membership never rides on NULL-ness and data
     NULLs group normally inside their own set.
     """
-    key_lists = [_key_cols(k) for k in keys]
-    all_cols: List[str] = []
-    for cols in key_lists:
-        for c in cols:
-            if c not in all_cols:
-                all_cols.append(c)
-    base = df.select(*all_cols)  # prune BEFORE the Expand
-    gs = (
-        base.groupingSets([list(c) for c in key_lists], *[F.col(c) for c in all_cols])
-        .agg(
-            F.count(F.lit(1)).alias("dup_count"),
-            F.grouping_id().alias("__gid"),
-        )
-        .filter(F.col("dup_count") > 1)
-    )
-    # grouping_id: bit i set when all_cols[i] is NOT in the grouping set
-    gids = []
-    for cols in key_lists:
-        gid = 0
-        for i, c in enumerate(all_cols):
-            if c not in cols:
-                gid |= 1 << (len(all_cols) - 1 - i)
-        gids.append(gid)
+    gs, gids, key_lists = multi_duplicate_counts(df, keys)
     key_str = None
     for gid, cols in zip(gids, key_lists):
         s = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])

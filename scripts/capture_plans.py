@@ -115,6 +115,35 @@ def main():
         + "```\n"
     )
 
+    out.append(
+        "## 3b. Multi-key uniqueness — GROUPING SETS, one scan\n\n"
+        "All configured uniqueness keys in one query: `Expand` duplicates "
+        "only the projected key columns (not the fact row), one hash "
+        "aggregate with map-side partial combine covers every grouping "
+        "set, and grouping_id() keys the per-field decode — job count "
+        "independent of how many keys the contract declares.\n\n"
+        "```\n"
+        + trim(plan_of(uniq_op.multi_duplicate_counts(
+            tr, [["conv_id", "turn_idx"], "conv_id"])[0]))
+        + "```\n"
+    )
+
+    roles = ref_op.vocab_df(
+        spark, ["system", "user", "assistant", "tool"], "role")
+    out.append(
+        "## 4b. Fused multi-vocab referential — one job for k columns\n\n"
+        "The fact table chains through one `BroadcastHashJoin` per vocab "
+        "column (build side = the tiny vocab key set) into a single "
+        "global `HashAggregate` counting misses + collecting examples "
+        "for every column — one fact scan, zero fact shuffles, one "
+        "collect regardless of k (round-2 verdict: was one job per "
+        "column).\n\n"
+        "```\n"
+        + trim(plan_of(ref_op.fused_vocab_miss_agg(
+            tr, {"tool": (vocab, None), "role": (roles, None)})))
+        + "```\n"
+    )
+
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     pruned = li.filter(F.col("l_shipdate") >= "1995-01-01").select(
         "l_returnflag", "l_quantity"
