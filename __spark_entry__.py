@@ -22,6 +22,7 @@ from data_contract_engine_spark.fixtures.transcripts_sql import (
     spark_transcripts_from_events,
 )
 from data_contract_engine_spark.operators import (
+    decontaminate as decon,
     dedup,
     drift,
     multimodal,
@@ -485,6 +486,33 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 20th doc plays the held-out eval
+    suite; the remaining corpus is scored for word-3-gram collisions
+    against it (the production default is k=8 — the GPT-3 collision
+    width — but the short synthetic docs need k=3 to collide at all).
+    Benchmark shingles are distinct'd + broadcast; the corpus side is one
+    map + one hash-agg on doc_id — no corpus self-join. The oracle
+    replays shingling, overlap counts and the flag exactly."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return decon.contamination_scores(corpus, bench, k=3).select(
+        "doc_id", "n_shingles", "n_overlap", "overlap_frac", "contaminated"
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle: reproducible pseudo-random training
+    order as (shard, shard_pos) from the portable key hash — one shuffle,
+    per-shard sort, no global sort. The oracle replays the md5-derived
+    hash, the shard assignment and the within-shard rank exactly."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    return sampling.corpus_shuffle(d, n_shards=16).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style filters): dup-gram
     and top-gram fractions over word bigrams."""
@@ -806,6 +834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample_docs": q_hash_sample,
         "stratified_sample_by_lang": q_stratified_sample,
         "pack_sequences_docs": q_pack_sequences,
+        "decontaminate_docs": q_decontaminate,
+        "corpus_shuffle_docs": q_corpus_shuffle,
         "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
@@ -1488,6 +1518,42 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
                    WHEN 'es' THEN {_HASH_SPACE}
                    ELSE {int(0.1 * _HASH_SPACE)} END)
 GROUP BY lang
+""",
+        # shingles CTE shared with the Jaccard oracles: bench = every 20th
+        # doc's distinct shingles; corpus rows LEFT JOIN it so ONE agg
+        # yields size + overlap, exactly like the Spark plan
+        "decontaminate_docs": "WITH "
+        + _SHINGLES
+        + """
+, bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+scores AS (
+  SELECT c.doc_id,
+         count(*)::BIGINT AS n_shingles,
+         count(b.shingle)::BIGINT AS n_overlap
+  FROM (SELECT * FROM shingles WHERE doc_id % 20 <> 0) c
+  LEFT JOIN bench b ON b.shingle = c.shingle
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_shingles, 0)::BIGINT AS n_shingles,
+       coalesce(s.n_overlap, 0)::BIGINT AS n_overlap,
+       CASE WHEN coalesce(s.n_shingles, 0) > 0
+            THEN round((s.n_overlap * 1.0) / (s.n_shingles), 6)
+            ELSE 0.0 END AS overlap_frac,
+       coalesce(s.n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN scores s ON s.doc_id = d.doc_id
+""",
+        "corpus_shuffle_docs": """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, (h % 16)::INT AS shard,
+       (row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id))::BIGINT
+         AS shard_pos
+FROM t
 """,
         "pack_sequences_docs": f"""
 WITH t AS (

@@ -202,6 +202,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Benchmark-decontamination job: score the corpus for n-gram
+    collisions against an eval suite, write the per-doc scores and
+    (optionally) the cleaned corpus."""
+    from pyspark.sql import Observation, functions as F
+
+    from .operators import decontaminate as decon_op
+
+    spark = build_session(app_name="dce-decontaminate")
+    df = _read_table_or_path(spark, args.input, args.format)
+    bench = _read_table_or_path(spark, args.benchmark, args.format)
+    obs = Observation("decon_input")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    scores = decon_op.contamination_scores(
+        df,
+        bench,
+        k=args.k,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_overlap=args.min_overlap,
+        frac_threshold=args.frac_threshold,
+    )
+    scores.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    summary = {
+        "input_docs": obs.get["n"],
+        "contaminated_docs": written.filter("contaminated").count(),
+    }
+    if args.clean_out:
+        # anti-join against the just-written scores — the expensive
+        # shingle/overlap pipeline is not recomputed for the clean write
+        bad = written.filter("contaminated").select(args.id_col)
+        clean = _read_table_or_path(spark, args.input, args.format).join(
+            bad, args.id_col, "left_anti"
+        )
+        clean.write.mode("overwrite").parquet(args.clean_out)
+        summary["clean_docs"] = spark.read.parquet(args.clean_out).count()
+    print(json.dumps(summary))
+    _stop(spark)
+    return 0
+
+
 def cmd_textstats(args) -> int:
     """Text-analysis job: per-document quality / repetition / language-ID /
     PII features written as one joined parquet relation."""
@@ -363,6 +405,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-set of quality,repetition,langid,pii")
     t.add_argument("--out", required=True)
     t.set_defaults(fn=cmd_textstats)
+
+    dc = sub.add_parser(
+        "decontaminate", help="n-gram collision check vs an eval benchmark"
+    )
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--benchmark", required=True,
+                    help="eval-suite table/path to collide against")
+    dc.add_argument("--format", default=None)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--k", type=int, default=8,
+                    help="word n-gram collision width (GPT-3 used 8..13)")
+    dc.add_argument("--min-overlap", type=int, default=1)
+    dc.add_argument("--frac-threshold", type=float, default=None)
+    dc.add_argument("--out", required=True,
+                    help="per-doc contamination scores (parquet)")
+    dc.add_argument("--clean-out", default=None,
+                    help="also write the corpus minus contaminated docs")
+    dc.set_defaults(fn=cmd_decontaminate)
 
     s = sub.add_parser("sample", help="deterministic hash sampling")
     s.add_argument("--input", required=True)

@@ -171,3 +171,49 @@ def pack_sequences(
         pack_id.alias("pack_id"),
         pack_offset.alias("pack_offset"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-example order.
+
+    Training runs need the corpus in a pseudo-random order that is (a)
+    reproducible across runs/engines/repartitions and (b) computable
+    without a global sort. Each row gets::
+
+        shard     — pmod(portable_hash(id, seed), n_shards)
+        shard_pos — 1-based rank inside the shard, ordered by
+                    (hash, id)  (id breaks 32-bit hash collisions)
+
+    Readers stream shards in index order (or round-robin across them) to
+    consume the corpus in shuffled order; a different ``seed`` is a fresh
+    and unrelated permutation.
+
+    Scale: ONE shuffle, partitioned by ``shard``; each shard sorts
+    independently on its executor, so per-task sort size is
+    ``corpus/n_shards`` — pick ``n_shards`` so a shard fits an executor
+    (100 TB → n_shards ≈ 10⁵). No global sort, no driver state. The hash
+    is the md5-derived portable key, so an external SQL oracle replays
+    shard AND position exactly.
+    """
+    clash = {"shard", "shard_pos", "__shuffle_key"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"corpus_shuffle output columns collide with input: {sorted(clash)}"
+        )
+    h = portable_key_hash(F.col(id_col), seed)
+    out = df.select(
+        "*",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("__shuffle_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+    return out.select(
+        *[c for c in df.columns],
+        "shard",
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )

@@ -18,6 +18,7 @@ import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MANUAL_MARK = "<!-- MANUAL SECTIONS BELOW (preserved by bench_scaling.py) -->"
 
 WORKER = r"""
 import json, os, sys, time
@@ -46,11 +47,17 @@ snap = baseline_snapshot(
 eng = ContractEngine(spark, drift_baseline_snapshot=snap)
 eng.validate(tr.limit(2000), contract, key_columns=["conv_id","turn_idx"]).report()
 
-t0 = time.time()
-run = ContractEngine(spark, drift_baseline_snapshot=snap).validate(
-    tr, contract, key_columns=["conv_id", "turn_idx"])
-rep = run.report()
-wall = time.time() - t0
+# min of 3 back-to-back runs: the host is shared, and a background
+# hiccup in any single trial otherwise lands in the efficiency ratio
+# (observed ±8% between single-trial runs); min = least-interfered
+wall = None
+for _ in range(3):
+    t0 = time.time()
+    run = ContractEngine(spark, drift_baseline_snapshot=snap).validate(
+        tr, contract, key_columns=["conv_id", "turn_idx"])
+    rep = run.report()
+    w = time.time() - t0
+    wall = w if wall is None else min(wall, w)
 print(json.dumps({{"cpus": cpus, "wall_sec": round(wall, 3),
                   "turns": rep.total_records,
                   "turns_per_sec": round(rep.total_records / wall, 1),
@@ -106,7 +113,9 @@ salted uniqueness + referential + PSI/KL drift w/ precomputed baseline
 snapshot) over a deterministic synthetic transcripts table
 ({results[8]['turns']:,} turns, seed=42, ~1% hot conversations), read from
 parquet with 8MB file splits (>4 balanced tasks per core at every level). Same input, same job, three parallelism
-levels (sandbox stand-in for executor counts per BASELINE.md).
+levels (sandbox stand-in for executor counts per BASELINE.md). Wall time
+is the MIN of 3 back-to-back runs per level (steady-state; a single-trial
+methodology showed ±8% host-interference noise between runs).
 
 | parallelism | wall (s) | validated turns/sec |
 |---|---|---|
@@ -133,23 +142,42 @@ Reference single-node baseline: ~8,850 records/s single-core
 timestamp rules plus uniqueness/referential/drift aggregates the reference
 runs separately or not at all).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # regenerate only the scaling section; keep every manually-maintained
+    # section below the marker (asymptote table, headline bench, skew)
+    bench_path = os.path.join(REPO, "BENCH.md")
+    manual = ""
+    try:
+        with open(bench_path) as f:
+            existing = f.read()
+        if MANUAL_MARK in existing:
+            manual = existing.split(MANUAL_MARK, 1)[1]
+    except OSError:
+        pass
+    with open(bench_path, "w") as f:
+        f.write(md + "\n" + MANUAL_MARK + manual)
     print(md)
     summary = {"efficiency_2_to_8": round(eff28, 3),
                "efficiency_8_to_32": round(eff832, 3),
                "t2": t2, "t8": t8, "t32": t32}
     print(json.dumps(summary))
     # single source of truth for measured evidence: bench.py embeds this
-    # artifact instead of hardcoding numbers that would go stale
-    artifact = {
+    # artifact instead of hardcoding numbers that would go stale. Merge
+    # into the existing file: keys owned by other scripts (e.g. the
+    # ``asymptote`` entry from bench_throughput.py) must survive a rerun.
+    art_path = os.path.join(REPO, "BENCH_SCALING.json")
+    try:
+        with open(art_path) as f:
+            artifact = json.load(f)
+    except (OSError, ValueError):
+        artifact = {}
+    artifact.update({
         "pair": "local[2] -> local[8]",
         "efficiency_n_to_4n": round(eff28, 3),
         "turns_per_sec": {"local2": t2, "local8": t8, "local32": t32},
         "turns": results[8]["turns"],
         "source": "scripts/bench_scaling.py",
-    }
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    })
+    with open(art_path, "w") as f:
         json.dump(artifact, f, indent=1)
 
 

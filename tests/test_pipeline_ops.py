@@ -725,3 +725,100 @@ def test_png_media_pipeline(spark):
         got = feats[mid]
         assert got[:2] == [float(w), float(h)]
         assert got[2:5] == [float(v) for v in expect]
+
+
+def test_contamination_scores_and_decontaminate(spark):
+    from data_contract_engine_spark.operators import decontaminate as decon
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma epsilon"),      # shares 'alpha beta gamma'
+            (1, "zeta eta theta iota kappa"),     # clean
+            (2, "alpha beta gamma delta"),        # verbatim benchmark copy
+            (3, "too short"),                     # < k words → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decon.contamination_scores(corpus, bench, k=3).collect()
+    }
+    assert len(got) == 4
+    assert got[0]["n_shingles"] == 2 and got[0]["n_overlap"] == 1
+    assert got[0]["overlap_frac"] == 0.5 and got[0]["contaminated"]
+    assert got[1]["n_overlap"] == 0 and not got[1]["contaminated"]
+    assert got[2]["n_overlap"] == 2 and got[2]["contaminated"]
+    assert got[3]["n_shingles"] == 0 and not got[3]["contaminated"]
+
+    # frac_threshold tightens the flag; min_overlap raises the bar
+    frac = {
+        r["doc_id"]: r["contaminated"]
+        for r in decon.contamination_scores(
+            corpus, bench, k=3, frac_threshold=0.6
+        ).collect()
+    }
+    assert not frac[0] and frac[2]
+    two = {
+        r["doc_id"]: r["contaminated"]
+        for r in decon.contamination_scores(
+            corpus, bench, k=3, min_overlap=2
+        ).collect()
+    }
+    assert not two[0] and two[2]
+
+    # the shuffle-join fallback must agree with the broadcast plan
+    no_bc = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in decon.contamination_scores(
+            corpus, bench, k=3, broadcast_benchmark=False
+        ).collect()
+    }
+    assert no_bc == {
+        i: (r["n_shingles"], r["n_overlap"]) for i, r in got.items()
+    }
+
+    kept = decon.decontaminate(corpus, bench, k=3)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    assert kept.columns == corpus.columns
+
+    with pytest.raises(ValueError):
+        decon.contamination_scores(corpus, bench, min_overlap=0)
+
+
+def test_corpus_shuffle_deterministic_sharded(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(500)], "doc_id long, text string"
+    )
+    out = sampling.corpus_shuffle(d, n_shards=8).collect()
+    assert len(out) == 500
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r)
+    # positions are 1..n per shard, dense
+    for rows in by_shard.values():
+        assert sorted(r["shard_pos"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    # repartition-stable (the point of the portable hash)
+    again = sampling.corpus_shuffle(d.repartition(13), n_shards=8).collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["shard_pos"]) for r in out
+    }
+    # a different seed is a different permutation
+    other = sampling.corpus_shuffle(d, n_shards=8, seed=7).collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in other} != {
+        (r["doc_id"], r["shard"], r["shard_pos"]) for r in out
+    }
+    # the order is shuffled, not the input order
+    shard0 = sorted(by_shard[0], key=lambda r: r["shard_pos"])
+    ids0 = [r["doc_id"] for r in shard0]
+    assert ids0 != sorted(ids0)
+    # reserved output names collide loudly
+    with pytest.raises(ValueError):
+        sampling.corpus_shuffle(d.withColumn("shard", F.lit(1)))
