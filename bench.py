@@ -201,6 +201,19 @@ def main():
     hot.unpersist()
     skew_docs.unpersist()
 
+    # q8 — benchmark decontamination over documents (every 20th doc plays
+    # the eval suite); rides "queries" but not the headline total
+    from data_contract_engine_spark.operators import decontaminate as decon
+
+    run2(
+        "decontaminate_docs",
+        lambda: decon.contamination_scores(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            k=3,
+        ).count(),
+    )
+
     # the headline total stays the SAME 5-query suite as rounds 1-2 so the
     # per-round series remains comparable; the skew twins are reported in
     # "queries" but not summed into it

@@ -191,6 +191,25 @@ def main():
         + "```\n"
     )
 
+    from data_contract_engine_spark.operators import decontaminate as decon
+
+    bench_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus_docs = docs.filter(F.col("doc_id") % 20 != 0)
+    out.append(
+        "## 9. Benchmark decontamination — broadcast benchmark, one "
+        "corpus agg\n\n"
+        "`BroadcastExchange` sits ONLY under the benchmark-shingle side "
+        "of the `BroadcastHashJoin`; the corpus side is a scan → explode "
+        "→ that join → one `HashAggregate` on doc_id (partial combine "
+        "map-side). No corpus self-join; apart from the explicit "
+        "`balance_input` step (a no-op on multi-split inputs at scale), "
+        "the only corpus shuffle moves (doc_id, two counters).\n\n"
+        "```\n"
+        + trim(plan_of(decon.contamination_scores(
+            corpus_docs, bench_docs, k=3)), 80)
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
