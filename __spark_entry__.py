@@ -22,6 +22,7 @@ from data_contract_engine_spark.fixtures.transcripts_sql import (
     spark_transcripts_from_events,
 )
 from data_contract_engine_spark.operators import (
+    curation,
     decontaminate as decon,
     dedup,
     drift,
@@ -513,6 +514,28 @@ def q_corpus_shuffle(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The full curation funnel in one composed plan: decontaminate (vs
+    the 1/20 eval split, 3-gram collisions at ≥10% overlap) → exact dedup
+    (min-id keep) → quality filter (composite score ≥ 0.8) → 50% hash
+    sample → pack into 256-token packs over 8 shards. The oracle replays
+    every stage with the already-certified SQL fragments chained as CTEs
+    — a green row certifies the COMPOSITION, not just the parts."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return curation.curate_corpus(
+        corpus,
+        bench,
+        k=3,
+        frac_threshold=0.1,
+        quality_threshold=0.8,
+        sample_rate=0.5,
+        budget=256,
+        n_shards=8,
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style filters): dup-gram
     and top-gram fractions over word bigrams."""
@@ -836,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": q_pack_sequences,
         "decontaminate_docs": q_decontaminate,
         "corpus_shuffle_docs": q_corpus_shuffle,
+        "corpus_curation": q_curate_corpus,
         "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
         "media_frame_sample": q_media_frames,
@@ -941,6 +965,26 @@ _COSINE = (
 _PUNCT_RE = "[^.,;:!?''\"()\\[\\]-]"  # '' = escaped quote inside SQL literal
 
 _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _quality_score_sql(t: str = "text") -> str:
+    """The composite quality score (textstats.quality_score_col) as a SQL
+    expression over column/expr ``t`` — shared by the text_quality gate
+    and the corpus-curation funnel so the filter and the reported feature
+    certify the same arithmetic."""
+    ws = _WS_TOKS.format(t=t)
+    return f"""round((CASE WHEN length({t}) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0 END)
+           + (CASE WHEN len({ws}) > 0
+                    AND length({t}) * 1.0 / len({ws})
+                        BETWEEN 2.0 AND 15.0 THEN 0.2 ELSE 0 END)
+           + (CASE WHEN (CASE WHEN length({t}) > 0
+                         THEN length(regexp_replace({t}, '{_PUNCT_RE}', '', 'g'))
+                              * 1.0 / length({t}) ELSE 0.0 END) <= 0.2
+                   THEN 0.2 ELSE 0 END)
+           + (CASE WHEN (CASE WHEN len({ws}) > 0
+                         THEN {_stop_cnt('en', t)} * 1.0
+                              / len({ws}) ELSE 0.0 END)
+                        >= 0.01 THEN 0.2 ELSE 0 END)::DOUBLE, 2)"""
 
 
 def _lang_ngram_oracle() -> str:
@@ -1544,6 +1588,61 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
 LEFT JOIN scores s ON s.doc_id = d.doc_id
 """,
+        # the curation funnel: every stage is the already-certified
+        # fragment (shingle overlap / md5 dedup / quality score / portable
+        # hash sample / pack window), chained as CTEs in the SAME order as
+        # curation.curate_corpus
+        "corpus_curation": "WITH "
+        + _SHINGLES
+        + f"""
+, bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+sc AS (
+  SELECT c.doc_id, count(*) AS n_sh, count(b.shingle) AS n_ov
+  FROM (SELECT * FROM shingles WHERE doc_id % 20 <> 0) c
+  LEFT JOIN bench b ON b.shingle = c.shingle
+  GROUP BY c.doc_id
+),
+decon_kept AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN sc ON sc.doc_id = d.doc_id
+  WHERE d.doc_id % 20 <> 0
+    AND NOT (coalesce(sc.n_ov, 0) >= 1
+             AND (CASE WHEN coalesce(sc.n_sh, 0) > 0
+                  THEN round((sc.n_ov * 1.0) / (sc.n_sh), 6)
+                  ELSE 0.0 END) >= 0.1)
+),
+dedup_kept AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN decon_kept k ON k.doc_id = d.doc_id
+  GROUP BY md5(d.text)
+),
+quality_kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN dedup_kept k ON k.doc_id = d.doc_id
+  WHERE {_quality_score_sql('d.text')} >= 0.8
+),
+sampled AS (
+  SELECT doc_id FROM quality_kept
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+        % {_HASH_SPACE} < {int(0.5 * _HASH_SPACE)}
+),
+toks2 AS (
+  SELECT d.doc_id,
+         len({_WS_TOKS.format(t='d.text')})::INT AS n_tokens,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '|42'), 1, 8))::BIGINT AS h
+  FROM documents d JOIN sampled s ON s.doc_id = d.doc_id
+),
+ordered2 AS (
+  SELECT doc_id, n_tokens, (h % 8)::INT AS shard,
+         sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+  FROM toks2
+)
+SELECT doc_id, n_tokens, shard,
+       (prev_cum // 256)::BIGINT AS pack_id,
+       (prev_cum % 256)::BIGINT AS pack_offset
+FROM ordered2
+""",
         "corpus_shuffle_docs": """
 WITH t AS (
   SELECT doc_id,
@@ -1622,18 +1721,7 @@ SELECT doc_id,
        round(CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
              THEN {_stop_cnt('en')} * 1.0 / len({_WS_TOKS.format(t='text')})
              ELSE 0.0 END, 4) AS stopword_ratio,
-       round((CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 0.4 ELSE 0 END)
-           + (CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
-                    AND length(text) * 1.0 / len({_WS_TOKS.format(t='text')})
-                        BETWEEN 2.0 AND 15.0 THEN 0.2 ELSE 0 END)
-           + (CASE WHEN (CASE WHEN length(text) > 0
-                         THEN length(regexp_replace(text, '{_PUNCT_RE}', '', 'g'))
-                              * 1.0 / length(text) ELSE 0.0 END) <= 0.2
-                   THEN 0.2 ELSE 0 END)
-           + (CASE WHEN (CASE WHEN len({_WS_TOKS.format(t='text')}) > 0
-                         THEN {_stop_cnt('en')} * 1.0
-                              / len({_WS_TOKS.format(t='text')}) ELSE 0.0 END)
-                        >= 0.01 THEN 0.2 ELSE 0 END)::DOUBLE, 2)
+       {_quality_score_sql('text')}
          AS quality_score
 FROM documents
 """,

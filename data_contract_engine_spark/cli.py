@@ -244,6 +244,43 @@ def cmd_decontaminate(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full curation funnel as one job: decontaminate → exact dedup →
+    quality filter → hash sample → sequence packing."""
+    from pyspark.sql import Observation, functions as F
+
+    from .operators import curation
+
+    spark = build_session(app_name="dce-curate")
+    df = _read_table_or_path(spark, args.input, args.format)
+    bench = _read_table_or_path(spark, args.benchmark, args.format)
+    obs = Observation("curate_input")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    out = curation.curate_corpus(
+        df,
+        bench,
+        k=args.k,
+        min_overlap=args.min_overlap,
+        frac_threshold=args.frac_threshold,
+        quality_threshold=args.quality_threshold,
+        sample_rate=args.sample_rate,
+        budget=args.budget,
+        n_shards=args.n_shards,
+        seed=args.seed,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    written = spark.read.parquet(args.out)
+    print(json.dumps({
+        "input_docs": obs.get["n"],
+        "packed_docs": written.count(),
+        "n_packs": written.select("shard", "pack_id").distinct().count(),
+    }))
+    _stop(spark)
+    return 0
+
+
 def cmd_textstats(args) -> int:
     """Text-analysis job: per-document quality / repetition / language-ID /
     PII features written as one joined parquet relation."""
@@ -424,6 +461,27 @@ def build_parser() -> argparse.ArgumentParser:
     dc.add_argument("--clean-out", default=None,
                     help="also write the corpus minus contaminated docs")
     dc.set_defaults(fn=cmd_decontaminate)
+
+    cu = sub.add_parser(
+        "curate",
+        help="full funnel: decontaminate, dedup, quality, sample, pack",
+    )
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--benchmark", required=True)
+    cu.add_argument("--format", default=None)
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--k", type=int, default=8)
+    cu.add_argument("--min-overlap", type=int, default=1)
+    cu.add_argument("--frac-threshold", type=float, default=None)
+    cu.add_argument("--quality-threshold", type=float, default=0.6)
+    cu.add_argument("--sample-rate", type=float, default=1.0)
+    cu.add_argument("--budget", type=int, default=512)
+    cu.add_argument("--n-shards", type=int, default=64)
+    cu.add_argument("--seed", type=int, default=42)
+    cu.add_argument("--out", required=True,
+                    help="(id, n_tokens, shard, pack_id, pack_offset) parquet")
+    cu.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("sample", help="deterministic hash sampling")
     s.add_argument("--input", required=True)

@@ -50,6 +50,35 @@ def stopword_count(text: Column, lang: str = "en") -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
+def quality_score_col(text: Column) -> Column:
+    """Composite C4/Gopher-style quality score in [0, 1], rounded to 2
+    decimals — the single scoring expression shared by
+    :func:`quality_features` and :mod:`curation`'s quality filter (so a
+    curation threshold and the reported feature always agree)."""
+    n_chars = F.length(text)
+    n_words = ws_token_count(text)
+    mean_word_len = F.when(
+        n_words > 0, n_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, punct_count(text).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stopword_count(text).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    len_ok = (n_chars >= 50) & (n_chars <= 100000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 15.0)
+    punct_ok = punct_ratio <= 0.2
+    stop_ok = stop_ratio >= 0.01
+    return F.round(
+        len_ok.cast("double") * 0.4
+        + word_len_ok.cast("double") * 0.2
+        + punct_ok.cast("double") * 0.2
+        + stop_ok.cast("double") * 0.2,
+        2,
+    )
+
+
 def quality_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -72,17 +101,6 @@ def quality_features(
         n_words > 0, stopword_count(t).cast("double") / n_words
     ).otherwise(F.lit(0.0))
 
-    len_ok = (n_chars >= 50) & (n_chars <= 100000)
-    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 15.0)
-    punct_ok = punct_ratio <= 0.2
-    stop_ok = stop_ratio >= 0.01
-
-    score = (
-        len_ok.cast("double") * 0.4
-        + word_len_ok.cast("double") * 0.2
-        + punct_ok.cast("double") * 0.2
-        + stop_ok.cast("double") * 0.2
-    )
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -90,7 +108,7 @@ def quality_features(
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(score, 2).alias("quality_score"),
+        quality_score_col(t).alias("quality_score"),
     )
 
 

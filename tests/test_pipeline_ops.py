@@ -822,3 +822,40 @@ def test_corpus_shuffle_deterministic_sharded(spark):
     # reserved output names collide loudly
     with pytest.raises(ValueError):
         sampling.corpus_shuffle(d.withColumn("shard", F.lit(1)))
+
+
+def test_curate_corpus_funnel(spark):
+    from data_contract_engine_spark.operators import curation
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs back to the "
+        "barn for dinner with friends tonight"
+    )
+    bench = spark.createDataFrame(
+        [(100, "benchmark question about the capital of france and spain")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, base),                                # survives
+            (1, base),                                # exact dup of 0 → dropped
+            (2, base + " extra tail words here"),     # survives (distinct)
+            (3, "benchmark question about the capital of france and spain"
+                " plus leakage"),                     # contaminated → dropped
+            (4, "!!!! ???? ;;;; ::: ,,,, ....."),     # low quality → dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = curation.curate_corpus(
+        corpus, bench, k=3, frac_threshold=0.1,
+        quality_threshold=0.8, budget=16, n_shards=2,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0]["n_tokens"] == 20
+    for r in rows.values():
+        assert 0 <= r["shard"] < 2
+        assert r["pack_id"] >= 0 and 0 <= r["pack_offset"] < 16
+    assert out.columns == [
+        "doc_id", "n_tokens", "shard", "pack_id", "pack_offset"
+    ]
