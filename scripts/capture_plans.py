@@ -210,6 +210,25 @@ def main():
         + "```\n"
     )
 
+    from data_contract_engine_spark.operators import curation
+
+    out.append(
+        "## 10. Corpus curation — the composed funnel stays one plan\n\n"
+        "decontaminate → exact dedup → quality filter → hash sample → "
+        "pack as ONE lazy plan: the quality/sample filters are pure "
+        "predicates fused into the projections (no extra scans), the "
+        "only Exchanges are the stages' own documented shuffles "
+        "(benchmark broadcast + doc-id agg, digest agg + semi-join, "
+        "per-shard pack window), and no collect/materialization "
+        "separates the stages.\n\n"
+        "```\n"
+        + trim(plan_of(curation.curate_corpus(
+            corpus_docs, bench_docs, k=3, frac_threshold=0.1,
+            quality_threshold=0.8, sample_rate=0.5, budget=256,
+            n_shards=8)), 100)
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))
