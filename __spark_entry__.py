@@ -158,6 +158,25 @@ def q_stats(spark, sf_dir):
     )
 
 
+def q_stats_percentiles(spark, sf_dir):
+    """Exact percentile statistics (the `percentiles` bounds of the
+    statistics rule family with `exact_percentiles: true`): Spark's exact
+    percentile and DuckDB's quantile_cont are both type-7 linear
+    interpolation, so the oracle matches bit-for-bit. The contract-rule
+    DEFAULT is the mergeable approx sketch (scale-safe; see
+    quality/aggregates.py) — this gate certifies the exact arithmetic."""
+    tr = _transcripts(spark, sf_dir)
+    v = F.col("turn_idx").cast("double")
+    tl = F.length("text").cast("double")
+    return tr.agg(
+        F.percentile(v, F.lit(0.25)).alias("p25_turn"),
+        F.percentile(v, F.lit(0.5)).alias("p50_turn"),
+        F.percentile(v, F.lit(0.9)).alias("p90_turn"),
+        F.percentile(tl, F.lit(0.5)).alias("p50_textlen"),
+        F.percentile(tl, F.lit(0.99)).alias("p99_textlen"),
+    )
+
+
 def q_freshness(spark, sf_dir):
     tr = _transcripts(spark, sf_dir)
     return tr.agg(F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
@@ -829,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_role_invalid": q_referential_role,
         "completeness_null_pct": q_completeness,
         "stats_turn_idx": q_stats,
+        "stats_percentiles": q_stats_percentiles,
         "freshness_bounds": q_freshness,
         "drift_histogram_textlen": q_drift_histogram,
         "drift_psi_textlen": q_drift_psi,
@@ -1411,6 +1431,15 @@ FROM transcripts
         + """
 SELECT round(avg(turn_idx), 4) AS mean_turn_idx,
        round(stddev_pop(turn_idx), 4) AS std_turn_idx
+FROM transcripts
+""",
+        "stats_percentiles": _T
+        + """
+SELECT quantile_cont(turn_idx::DOUBLE, 0.25) AS p25_turn,
+       quantile_cont(turn_idx::DOUBLE, 0.5) AS p50_turn,
+       quantile_cont(turn_idx::DOUBLE, 0.9) AS p90_turn,
+       quantile_cont(length(text)::DOUBLE, 0.5) AS p50_textlen,
+       quantile_cont(length(text)::DOUBLE, 0.99) AS p99_textlen
 FROM transcripts
 """,
         "freshness_bounds": _T

@@ -118,7 +118,11 @@ class QualityRules:
         (extension; the reference only supports independent single fields,
         `app/core/quality_validator.py:157-182`).
     statistics: {field: {"mean": {"min","max"}, "std_dev": {"max"},
-        "distinct_count": {"min","max"}}} — cardinality bounds are an
+        "distinct_count": {"min","max"},
+        "percentiles": {p∈(0,1): {"min","max"}},
+        "exact_percentiles": bool (default False = mergeable approx
+        sketch; exact buffers per-value counts — see aggregates.py)}}
+        — cardinality/percentile bounds are an
         extension (approx_count_distinct sketch in the fused agg).
     referential: {field: {"values": [...]} | {"table": name, "column": c}}
         (extension of enum-as-membership, SURVEY.md §2.4 J2).

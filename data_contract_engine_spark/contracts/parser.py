@@ -275,6 +275,33 @@ def _parse_quality(raw: Any) -> QualityRules:
         for fname, constraints in stats.items():
             if not isinstance(constraints, dict):
                 raise ContractError(f"statistics for '{fname}' must be a mapping")
+            pcts = constraints.get("percentiles")
+            if pcts is not None:
+                if not isinstance(pcts, dict) or not pcts:
+                    raise ContractError(
+                        f"statistics['{fname}'].percentiles must be a "
+                        "non-empty mapping of percentile -> bounds"
+                    )
+                for pk, bounds in pcts.items():
+                    try:
+                        p = float(pk)
+                    except (TypeError, ValueError):
+                        raise ContractError(
+                            f"statistics['{fname}'].percentiles key {pk!r} "
+                            "must be a number"
+                        )
+                    if not 0 < p < 1:
+                        raise ContractError(
+                            f"statistics['{fname}'].percentiles key {pk!r} "
+                            "must be strictly between 0 and 1"
+                        )
+                    if not isinstance(bounds, dict) or not (
+                        {"min", "max"} & set(bounds)
+                    ):
+                        raise ContractError(
+                            f"statistics['{fname}'].percentiles[{pk!r}] "
+                            "needs 'min' and/or 'max'"
+                        )
         out["statistics"] = dict(stats)
 
     if "referential" in raw:

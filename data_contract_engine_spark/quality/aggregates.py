@@ -90,6 +90,12 @@ def quality_score(errors: List[QualityError]) -> float:
     return max(0.0, score)
 
 
+def _pctl_tag(p: float) -> str:
+    """Stable alias fragment for a percentile (0.5 → '0_5') — shared by
+    the expr builder and the row decoder so they always agree."""
+    return f"{p:g}".replace(".", "_")
+
+
 def _is_numeric(dtype) -> bool:
     from pyspark.sql import types as T
 
@@ -164,6 +170,27 @@ def build_quality_agg_exprs(
             v = F.col(c).cast("double")
             exprs.append(F.mean(v).alias(f"__mean__{c}"))
             exprs.append(F.stddev_pop(v).alias(f"__stdpop__{c}"))
+            # percentile bounds (extension): the DEFAULT is the mergeable
+            # approx sketch (bounded executor state — scale-safe on
+            # continuous columns); `exact_percentiles: true` opts into
+            # Spark's exact percentile, which buffers a distinct-value→
+            # count map per partial aggregate: fine for bounded-
+            # cardinality ints, a memory hazard on high-cardinality
+            # doubles at 100 TB. Both ride the same single-pass agg.
+            pcts = (
+                constraints.get("percentiles")
+                if isinstance(constraints, dict)
+                else None
+            )
+            if pcts:
+                exact = bool(constraints.get("exact_percentiles"))
+                for p in sorted(float(k) for k in pcts):
+                    agg = (
+                        F.percentile(v, F.lit(p))
+                        if exact
+                        else F.percentile_approx(v, F.lit(p), F.lit(10000))
+                    )
+                    exprs.append(agg.alias(f"__pctl__{c}__{_pctl_tag(p)}"))
 
     # referential with literal vocab fuses into the same pass: invalid
     # count + top-5 sorted examples per column (table-backed vocabularies
@@ -345,5 +372,38 @@ def decode_quality_row(
                         details={"field": col, "std_dev": std},
                     )
                 )
+            pcts = constraints.get("percentiles") or {}
+            for key in sorted(pcts, key=lambda k: float(k)):
+                p = float(key)
+                bounds = pcts[key] or {}
+                val = row.get(f"__pctl__{col}__{_pctl_tag(p)}")
+                if val is None or (isinstance(val, float) and math.isnan(val)):
+                    continue
+                if "min" in bounds and val < bounds["min"]:
+                    errors.append(
+                        QualityError(
+                            rule_type="STATISTICS",
+                            message=(
+                                f"Field '{col}' p{p:g} {val:.2f} below "
+                                f"minimum {bounds['min']}"
+                            ),
+                            severity=SEVERITY_WARNING,
+                            details={"field": col, "percentile": p,
+                                     "value": val},
+                        )
+                    )
+                if "max" in bounds and val > bounds["max"]:
+                    errors.append(
+                        QualityError(
+                            rule_type="STATISTICS",
+                            message=(
+                                f"Field '{col}' p{p:g} {val:.2f} exceeds "
+                                f"maximum {bounds['max']}"
+                            ),
+                            severity=SEVERITY_WARNING,
+                            details={"field": col, "percentile": p,
+                                     "value": val},
+                        )
+                    )
 
     return errors

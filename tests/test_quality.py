@@ -445,3 +445,64 @@ def test_multi_uniqueness_single_job(spark, monkeypatch):
     }
     by_field = {e.details["field"]: e for e in uniq_errors}
     assert "'y' (3x)" in by_field["src"].message
+
+
+def test_statistics_percentile_bounds(spark):
+    """Percentile bounds (extension): default = mergeable approx sketch
+    (scale-safe); exact_percentiles opts into Spark's exact percentile.
+    Both ride the fused single-pass agg and warn without failing."""
+    rows = [("a", float(v), _ts(0)) for v in range(1, 11)]  # 1..10 → p50=5.5
+    spec = {"statistics": {"value": {
+        "percentiles": {0.5: {"min": 7}}, "exact_percentiles": True}}}
+    rep = _run(spark, rows, spec)
+    q = rep.quality
+    assert q.passed  # warning only
+    assert q.errors[0].rule_type == "STATISTICS"
+    assert q.errors[0].message == "Field 'value' p0.5 5.50 below minimum 7"
+    assert q.errors[0].details["percentile"] == 0.5
+
+    # approx default agrees at tiny scale; max bound fires too
+    rep = _run(spark, rows, {"statistics": {"value": {
+        "percentiles": {"0.9": {"max": 5}}}}})
+    assert "p0.9" in rep.quality.errors[0].message
+    assert "exceeds maximum 5" in rep.quality.errors[0].message
+
+    # in-bounds percentile is clean
+    rep = _run(spark, rows, {"statistics": {"value": {
+        "percentiles": {0.5: {"min": 1, "max": 9}}, "exact_percentiles": True}}})
+    assert rep.quality.passed and not rep.quality.errors
+
+
+def test_statistics_percentile_parser_validation():
+    """Structural validation of the percentiles sub-spec. Parity note:
+    invalid quality_rules degrade to none with a warning (parser.py:80),
+    so the observable contract surface is an EMPTY statistics block."""
+    from data_contract_engine_spark.contracts.parser import (
+        _parse_quality, parse_contract_yaml,
+    )
+    from data_contract_engine_spark.contracts.model import ContractError
+
+    def mk(pct_yaml):
+        return f"""
+contract_version: "1.0"
+schema:
+  value: {{type: float}}
+quality_rules:
+  statistics:
+    value:
+      percentiles: {pct_yaml}
+"""
+
+    import pytest as _pt
+    import yaml
+
+    for bad in ("{1.5: {min: 1}}", "{0.5: {}}", "{}", "{oops: {min: 1}}"):
+        raw = yaml.safe_load(mk(bad))["quality_rules"]
+        with _pt.raises(ContractError):
+            _parse_quality(raw)
+        # and through the lenient top-level parse: rules drop to none
+        c = parse_contract_yaml(mk(bad), name="t")
+        assert not c.quality.statistics
+
+    c = parse_contract_yaml(mk("{0.5: {min: 1}}"), name="t")  # valid
+    assert c.quality.statistics["value"]["percentiles"] == {0.5: {"min": 1}}
