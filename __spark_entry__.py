@@ -648,6 +648,30 @@ def q_media_png_decode(spark, sf_dir):
     )
 
 
+def q_media_gif_decode(spark, sf_dir):
+    """REAL GIF decode under the oracle gate: deterministic palette-
+    indexed GIFs (index = gif_index_value, colors = gif_palette_entry)
+    are encoded Spark-side in mapInPandas, then decoded by the stdlib
+    full-LZW GIF decoder through the extract_features seam. The oracle
+    recomputes per-channel pixel sums from the index/palette formulas
+    alone — any LZW, sub-block or palette bug breaks the exact-integer
+    match."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.gif_media_from_ids(d)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.stdlib_media_decoder
+    )
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("width"),
+        F.element_at(f, 2).cast("int").alias("height"),
+        F.element_at(f, 3).cast("long").alias("sum_r"),
+        F.element_at(f, 4).cast("long").alias("sum_g"),
+        F.element_at(f, 5).cast("long").alias("sum_b"),
+    )
+
+
 # ---- streaming semantics under the oracle gate ----------------------------
 #
 # Each gate replays the flagship stream in two AvailableNow phases over a
@@ -885,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frames,
         "media_features_pandas": q_media_features,
         "media_png_decode": q_media_png_decode,
+        "media_gif_decode": q_media_gif_decode,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
@@ -1516,6 +1541,24 @@ SELECT media_id, w AS width, h AS height,
        sum((media_id * 3 + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
        sum((media_id * 3 + 7 * x + 13 * y + 31) % 256)::BIGINT AS sum_g,
        sum((media_id * 3 + 7 * x + 13 * y + 62) % 256)::BIGINT AS sum_b
+FROM grid GROUP BY media_id, w, h
+""",
+        # real GIF decode: oracle recomputes channel sums from the shared
+        # index/palette formulas (gif_index_value / gif_palette_entry)
+        "media_gif_decode": """
+WITH ids AS (SELECT doc_id AS media_id,
+                    8 + doc_id % 16 AS w, 4 + doc_id % 8 AS h
+             FROM documents),
+grid AS (
+  SELECT media_id, w, h, gx.x AS x, gy.y AS y
+  FROM ids,
+       LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) gx,
+       LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) gy
+)
+SELECT media_id, w AS width, h AS height,
+       sum((media_id * 3 + 7 * x + 13 * y) % 256)::BIGINT AS sum_r,
+       sum(((media_id * 3 + 7 * x + 13 * y) % 256 + 85) % 256)::BIGINT AS sum_g,
+       sum(((media_id * 3 + 7 * x + 13 * y) % 256 + 170) % 256)::BIGINT AS sum_b
 FROM grid GROUP BY media_id, w, h
 """,
         # streaming replays: exact SQL functions of the two-phase split

@@ -103,9 +103,9 @@ def decode_media(payload: bytes, kind: str, mime: str):
     """General media decode — NOT IMPLEMENTED in this container (no
     PIL/ffmpeg/librosa). Inject a ``decoder`` into :func:`extract_features`
     in a real deployment. For the formats the Python stdlib CAN parse
-    (8-bit PNG via zlib + full unfiltering, uncompressed 24-bit BMP, PCM
-    WAV) use :func:`stdlib_media_decoder` — it exercises the whole decode
-    seam with real decoders."""
+    (8-bit PNG via zlib + full unfiltering, GIF via full LZW decode,
+    uncompressed 24-bit BMP, PCM WAV) use :func:`stdlib_media_decoder` —
+    it exercises the whole decode seam with real decoders."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} mime={mime!r} requires image/audio "
         "libraries not present in this environment; pass decoder= explicitly"
@@ -362,6 +362,218 @@ def png_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ---- GIF: full LZW decoder + a literal-code encoder for fixtures --------
+
+_GIF_PALETTE_OFFSETS = (0, 85, 170)
+
+
+def gif_palette_entry(i: int):
+    """THE fixture palette — entry i = (i, i+85, i+170) mod 256; shared
+    with the SQL oracle like :func:`png_pixel_value`."""
+    return tuple((i + off) % 256 for off in _GIF_PALETTE_OFFSETS)
+
+
+def gif_index_value(media_id: int, x: int, y: int) -> int:
+    """THE fixture pixel-index formula (palette index per pixel)."""
+    return (media_id * 3 + 7 * x + 13 * y) % 256
+
+
+def decode_gif(payload: bytes):
+    """(width, height, rows) for a non-interlaced single-frame GIF87a/89a;
+    ``rows`` is top-down, each row a list of (r, g, b) tuples.
+
+    Full LZW decode — variable code width, CLEAR/EOI handling, KwKwK
+    case, table growth to 12 bits — so it reads any conforming encoder's
+    output, not just :func:`encode_gif`'s literal-code stream."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (missing GIF87a/89a magic)")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table unsupported")
+    gct = 2 ** ((flags & 0x07) + 1)
+    palette = [
+        tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(gct)
+    ]
+    pos += 3 * gct
+    while True:  # skip extensions up to the first image descriptor
+        b = payload[pos]
+        if b == 0x21:
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:
+            break
+        elif b == 0x3B:
+            raise ValueError("GIF trailer before any image data")
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    pos += 10
+    if iflags & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if iflags & 0x80:
+        lct = 2 ** ((iflags & 0x07) + 1)
+        palette = [
+            tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(lct)
+        ]
+        pos += 3 * lct
+    min_code = payload[pos]
+    pos += 1
+    data = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        data += payload[pos + 1 : pos + 1 + n]
+        pos += n + 1
+
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table: dict = {}
+    code_size = min_code + 1
+    next_code = eoi + 1
+    prev = None
+
+    def reset():
+        nonlocal table, code_size, next_code, prev
+        table = {i: (i,) for i in range(clear)}
+        code_size = min_code + 1
+        next_code = eoi + 1
+        prev = None
+
+    reset()
+    indices: list = []
+    acc = nbits = 0
+    done = False
+    for byte in data:
+        if done:
+            break
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                reset()
+                continue
+            if code == eoi:
+                done = True
+                break
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+            elif code == next_code:  # KwKwK
+                entry = prev + (prev[0],)
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            indices.extend(entry)
+            prev = entry
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+    if len(indices) < iw * ih:
+        raise ValueError(
+            f"GIF pixel data truncated: {len(indices)} < {iw * ih}"
+        )
+    rows = [
+        [palette[indices[y * iw + x]] for x in range(iw)] for y in range(ih)
+    ]
+    return iw, ih, rows
+
+
+def encode_gif(index_rows, palette) -> bytes:
+    """Inverse of :func:`decode_gif` for fixture generation: a single-
+    frame GIF87a with a 256-entry global color table. The LZW stream uses
+    literal codes with a CLEAR every 250 pixels, so the code width stays
+    at min+1 bits — valid LZW that any decoder (including the full one
+    above) reads back exactly."""
+    import struct
+
+    h = len(index_rows)
+    w = len(index_rows[0]) if h else 0
+    pal = list(palette) + [(0, 0, 0)] * (256 - len(palette))
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for i, idx in enumerate(px for row in index_rows for px in row):
+        if i and i % 250 == 0:
+            emit(clear)
+        emit(idx)
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray()
+    for off in range(0, len(out), 255):
+        chunk = out[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + b"".join(bytes(p) for p in pal)
+        + b"\x2C"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + blocks
+        + b"\x3B"
+    )
+
+
+def gif_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic palette-indexed GIF media table: dims (8 + id%16,
+    4 + id%8), pixel index from :func:`gif_index_value`, colors from
+    :func:`gif_palette_entry` — same Arrow-batched mapInPandas plumbing
+    as :func:`png_media_from_ids`."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        palette = [gif_palette_entry(i) for i in range(256)]
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 16, 4 + mid % 8
+                rows = [
+                    [gif_index_value(mid, x, y) for x in range(w)]
+                    for y in range(h)
+                ]
+                payloads.append(encode_gif(rows, palette))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/gif",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema="media_id long, kind string, mime string, payload binary",
+    )
+
+
 def decode_wav(payload: bytes):
     """(n_channels, sample_rate, n_frames, sample_width_bytes, frames)
     via the stdlib ``wave`` module."""
@@ -382,7 +594,7 @@ def stdlib_media_decoder(
     payload: bytes, kind: str, mime: str, n: int = N_FEATURES
 ) -> list:
     """Real-decode feature extractor for the stdlib-parsable formats:
-    PNG → (width, height, per-channel pixel SUMS — exact integers, so
+    PNG/GIF → (width, height, per-channel pixel SUMS — exact integers, so
     the SQL oracle can certify the decode bit-for-bit); BMP → (width,
     height, mean B/G/R); WAV → (channels, rate, frames, RMS amplitude).
     Fixed-width output (zero-padded to ``n``) so it drops into
@@ -394,6 +606,15 @@ def stdlib_media_decoder(
             for px in row:
                 for c in range(ch):
                     sums[c] += px[c]
+        feats = [float(w), float(h)] + [float(s) for s in sums]
+    elif mime == "image/gif":
+        w, h, rows = decode_gif(payload)
+        sums = [0, 0, 0]
+        for row in rows:
+            for r, g, b in row:
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
         feats = [float(w), float(h)] + [float(s) for s in sums]
     elif mime == "image/bmp":
         w, h, rows = decode_bmp(payload)

@@ -859,3 +859,115 @@ def test_curate_corpus_funnel(spark):
     assert out.columns == [
         "doc_id", "n_tokens", "shard", "pack_id", "pack_offset"
     ]
+
+
+def _gif_lzw_compress(indices, min_code=8):
+    """A REAL LZW compressor (string table, variable code width) — used
+    to prove decode_gif handles general compressed streams, not only the
+    literal-code stream our fixture encoder emits."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, size):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    code_size = min_code + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    seq = ()
+    for idx in indices:
+        cand = seq + (idx,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], code_size)
+        table[cand] = next_code
+        next_code += 1
+        # the encoder's table runs one entry AHEAD of the decoder's, so
+        # width grows at 2^cs + 1 here (the decoder grows at its 2^cs)
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        seq = (idx,)
+    if seq:
+        emit(table[seq], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    blocks = bytearray()
+    for off in range(0, len(out), 255):
+        chunk = out[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return bytes(blocks) + b"\x00"
+
+
+def test_gif_codec_roundtrip_and_real_lzw(spark):
+    import struct
+
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    palette = [mm.gif_palette_entry(i) for i in range(256)]
+
+    # fixture encoder round-trip (crosses CLEAR and sub-block boundaries)
+    for mid in (0, 17, 9999):
+        w, h = 8 + mid % 16, 4 + mid % 8
+        if mid == 9999:
+            w, h = 120, 40
+        rows = [[mm.gif_index_value(mid, x, y) for x in range(w)]
+                for y in range(h)]
+        dw, dh, drows = mm.decode_gif(mm.encode_gif(rows, palette))
+        assert (dw, dh) == (w, h)
+        assert drows == [[palette[i] for i in row] for row in rows]
+
+    # general LZW: repetitive data compresses through the string table
+    # (KwKwK patterns included); the decoder must read it identically
+    w, h = 64, 32
+    indices = [(x // 4 + y) % 7 for y in range(h) for x in range(w)]
+    payload = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + b"".join(bytes(p) for p in palette)
+        + b"\x21\xfe\x05hello\x00"          # comment extension (skipped)
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8]) + _gif_lzw_compress(indices)
+        + b"\x3B"
+    )
+    dw, dh, drows = mm.decode_gif(payload)
+    assert (dw, dh) == (w, h)
+    flat = [px for row in drows for px in row]
+    assert flat == [palette[i] for i in indices]
+
+    # error paths are loud
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mm.decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_gif_media_pipeline(spark):
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 17)], ["doc_id"])
+    feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(
+            mm.gif_media_from_ids(ids), decoder=mm.stdlib_media_decoder
+        ).collect()
+    }
+    for mid in (0, 5, 17):
+        w, h = 8 + mid % 16, 4 + mid % 8
+        expect = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                pal = mm.gif_palette_entry(mm.gif_index_value(mid, x, y))
+                for c in range(3):
+                    expect[c] += pal[c]
+        assert feats[mid][:5] == [float(w), float(h)] + [
+            float(v) for v in expect
+        ]
