@@ -214,6 +214,24 @@ def main():
         ).count(),
     )
 
+    # q9 — the composed curation funnel (decontaminate → dedup → quality
+    # → sample → pack) as one plan
+    from data_contract_engine_spark.operators import curation
+
+    run2(
+        "corpus_curation",
+        lambda: curation.curate_corpus(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+            k=3,
+            frac_threshold=0.1,
+            quality_threshold=0.8,
+            sample_rate=0.5,
+            budget=256,
+            n_shards=8,
+        ).count(),
+    )
+
     # the headline total stays the SAME 5-query suite as rounds 1-2 so the
     # per-round series remains comparable; the skew twins are reported in
     # "queries" but not summed into it
