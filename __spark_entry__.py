@@ -672,6 +672,29 @@ def q_media_gif_decode(spark, sf_dir):
     )
 
 
+def q_media_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode under the oracle gate: deterministic
+    grayscale JPEGs built from constant 8×8 tiles (jpeg_tile_value) with
+    an all-ones quant table — DC-only blocks, which baseline JPEG stores
+    EXACTLY, so the lossy format still yields a bit-exact oracle. The
+    decoder is the general one (canonical Huffman from the file's DHT,
+    byte unstuffing, restart markers, dequant + zigzag + IDCT) — it also
+    decodes real-world libjpeg output (pinned by unit test). The oracle
+    recomputes pixel sums from the tile formula alone."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.jpeg_media_from_ids(d)
+    feats = multimodal.extract_features(
+        media, decoder=multimodal.stdlib_media_decoder
+    )
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.element_at(f, 1).cast("int").alias("width"),
+        F.element_at(f, 2).cast("int").alias("height"),
+        F.element_at(f, 3).cast("long").alias("sum_luma"),
+    )
+
+
 # ---- streaming semantics under the oracle gate ----------------------------
 #
 # Each gate replays the flagship stream in two AvailableNow phases over a
@@ -910,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_pandas": q_media_features,
         "media_png_decode": q_media_png_decode,
         "media_gif_decode": q_media_gif_decode,
+        "media_jpeg_decode": q_media_jpeg_decode,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
@@ -1560,6 +1584,24 @@ SELECT media_id, w AS width, h AS height,
        sum(((media_id * 3 + 7 * x + 13 * y) % 256 + 85) % 256)::BIGINT AS sum_g,
        sum(((media_id * 3 + 7 * x + 13 * y) % 256 + 170) % 256)::BIGINT AS sum_b
 FROM grid GROUP BY media_id, w, h
+""",
+        # real JPEG decode: constant 8×8 tiles are DC-only blocks, stored
+        # exactly at quant=1 — the oracle recomputes pixel sums as
+        # 64 · tile_value over the tile grid (jpeg_tile_value formula)
+        "media_jpeg_decode": """
+WITH ids AS (SELECT doc_id AS media_id,
+                    1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+             FROM documents),
+tiles AS (
+  SELECT media_id, tw, th, gx.tx AS tx, gy.ty AS ty
+  FROM ids,
+       LATERAL (SELECT unnest(generate_series(0, tw - 1)) AS tx) gx,
+       LATERAL (SELECT unnest(generate_series(0, th - 1)) AS ty) gy
+)
+SELECT media_id, (tw * 8)::INT AS width, (th * 8)::INT AS height,
+       sum(64 * ((media_id * 5 + 11 * tx + 17 * ty) % 256))::BIGINT
+         AS sum_luma
+FROM tiles GROUP BY media_id, tw, th
 """,
         # streaming replays: exact SQL functions of the two-phase split
         # under the pinned watermark semantics (streaming/replay.py)

@@ -574,6 +574,464 @@ def gif_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ---- JPEG: baseline sequential DCT decoder (stdlib only) ----------------
+#
+# The decoder is GENERAL for baseline JPEGs without chroma subsampling:
+# canonical Huffman tables built from the file's own DHT segments (so it
+# reads any conforming encoder's tables, not just ours), byte-unstuffing,
+# restart markers, dequantize, zigzag, float IDCT, level shift. The
+# fixture encoder keeps its embedded tables simple (all DC symbols at 4
+# bits, all 162 AC symbols at 8 bits — valid canonical tables) and uses
+# an all-ones quant table, so constant 8×8 tiles decode BIT-EXACTLY
+# (DC-only blocks: IDCT(DC)/8 == the tile value) and the SQL oracle can
+# certify the decode with exact integer sums, JPEG's lossiness
+# notwithstanding. General (AC-bearing) content round-trips within ±1
+# (IDCT rounding) — pinned by unit test.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_cos_table():
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+
+
+_JPEG_COS = _jpeg_cos_table()
+_JPEG_C = [0.7071067811865476] + [1.0] * 7  # 1/sqrt(2) for u == 0
+
+
+def _idct_block(coef):
+    """Float 2-D IDCT of an 8×8 coefficient block (row-major), separable
+    (two 1-D passes)."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _JPEG_C[u] * coef[y * 8 + u] * _JPEG_COS[x][u]
+            tmp[y][x] = s / 2.0
+    out = [[0] * 8 for _ in range(8)]
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _JPEG_C[v] * tmp[v][x] * _JPEG_COS[y][v]
+            px = int(round(s / 2.0)) + 128
+            out[y][x] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; surfaces RST markers to the MCU loop."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _huff_decode(reader, table):
+    code, length = 0, 0
+    while length < 17:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """(width, height, n_components, rows) for a baseline sequential JPEG
+    with 1 (grayscale) or 3 (YCbCr 4:4:4) components; ``rows`` is
+    top-down, each pixel a tuple of component values (RGB for color).
+    Raises on progressive/subsampled/arithmetic variants."""
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict = {}
+    huff: dict = {}
+    comps = None
+    w = h = 0
+    restart_interval = 0
+    scan_comps = None
+    while True:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("EOI before scan data")
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                off += 1
+                if pq:
+                    vals = [
+                        int.from_bytes(seg[off + 2 * i : off + 2 * i + 2],
+                                       "big")
+                        for i in range(64)
+                    ]
+                    off += 128
+                else:
+                    vals = list(seg[off : off + 64])
+                    off += 64
+                qt[tq] = vals
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            n = seg[5]
+            comps = []
+            for i in range(n):
+                cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0x0F
+                counts = list(seg[off + 1 : off + 17])
+                nsym = sum(counts)
+                syms = list(seg[off + 17 : off + 17 + nsym])
+                off += 17 + nsym
+                table = {}
+                code = 0
+                k = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = table
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = seg[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append((cid, tables >> 4, tables & 0x0F))
+            pos += seglen
+            break
+        pos += seglen
+    if comps is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+
+    order = []
+    for cid, dc_id, ac_id in scan_comps:
+        tq = dict(comps)[cid]
+        order.append((qt[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [
+        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(len(order))
+    ]
+    reader = _JpegBitReader(payload, pos)
+    preds = [0] * len(order)
+    mcu_count = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                # byte-align: drop buffered pad bits, consume the RSTn
+                reader.acc = 0
+                reader.nbits = 0
+                if not (
+                    reader.buf[reader.pos] == 0xFF
+                    and 0xD0 <= reader.buf[reader.pos + 1] <= 0xD7
+                ):
+                    raise ValueError("expected restart marker")
+                reader.pos += 2
+                preds = [0] * len(order)
+            mcu_count += 1
+            for ci, (quant, dc_tab, ac_tab) in enumerate(order):
+                coef = [0] * 64
+                size = _huff_decode(reader, dc_tab)
+                diff = _extend(reader.bits(size), size) if size else 0
+                preds[ci] += diff
+                coef[0] = preds[ci] * quant[0]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, ac_tab)
+                    run, sz = rs >> 4, rs & 0x0F
+                    if sz == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    coef[_ZIGZAG[k]] = (
+                        _extend(reader.bits(sz), sz) * quant[k]
+                    )
+                    k += 1
+                block = _idct_block(coef)
+                for y in range(8):
+                    row = planes[ci][by * 8 + y]
+                    for x in range(8):
+                        row[bx * 8 + x] = block[y][x]
+
+    nc = len(order)
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            if nc == 1:
+                row.append((planes[0][y][x],))
+            else:
+                Y, cb, cr = (
+                    planes[0][y][x],
+                    planes[1][y][x] - 128,
+                    planes[2][y][x] - 128,
+                )
+                r = int(round(Y + 1.402 * cr))
+                g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(Y + 1.772 * cb))
+                clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)
+                row.append((clamp(r), clamp(g), clamp(b)))
+        rows.append(row)
+    return w, h, nc, rows
+
+
+def _fdct_block(pixels):
+    """Float forward DCT of an 8×8 spatial block (level-shifted)."""
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                for x in range(8):
+                    s += (
+                        (pixels[y][x] - 128)
+                        * _JPEG_COS[x][u]
+                        * _JPEG_COS[y][v]
+                    )
+            out[v * 8 + u] = s * _JPEG_C[u] * _JPEG_C[v] / 4.0
+    return out
+
+
+def _jpeg_fixture_tables():
+    """Simple VALID canonical Huffman tables for the fixture encoder: all
+    12 DC size symbols at 4 bits, all 162 AC symbols at 8 bits. The
+    tables travel in the file's DHT, so the general decoder reads them
+    like any other encoder's."""
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dc_syms = list(range(12))
+    ac_counts = [0] * 16
+    ac_counts[7] = 162
+    ac_syms = [0x00, 0xF0] + [
+        (run << 4) | sz for run in range(16) for sz in range(1, 11)
+    ]
+    return (dc_counts, dc_syms), (ac_counts, ac_syms)
+
+
+def _huff_encode_map(counts, syms):
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def _mag_cat(v: int) -> int:
+    size = 0
+    a = abs(v)
+    while a:
+        size += 1
+        a >>= 1
+    return size
+
+
+def encode_jpeg_gray(pixels) -> bytes:
+    """Inverse of :func:`decode_jpeg` for grayscale fixtures: baseline
+    SOF0, all-ones quant table (so DC-only constant tiles round-trip
+    bit-exactly), the simple canonical tables above, full run/size AC
+    coding for general content. ``pixels`` is rows of 0-255 ints."""
+    import struct
+
+    h = len(pixels)
+    w = len(pixels[0]) if h else 0
+    (dc_c, dc_s), (ac_c, ac_s) = _jpeg_fixture_tables()
+    dc_enc = _huff_encode_map(dc_c, dc_s)
+    ac_enc = _huff_encode_map(ac_c, ac_s)
+
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(length, code):
+        nonlocal acc, nbits
+        acc = (acc << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    pred = 0
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            block = [
+                [
+                    pixels[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)]
+                    for x in range(8)
+                ]
+                for y in range(8)
+            ]
+            coef = [int(round(c)) for c in _fdct_block(block)]
+            zz = [coef[_ZIGZAG[k]] for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = _mag_cat(diff)
+            emit(*dc_enc[size])
+            if size:
+                emit(size, diff if diff >= 0 else diff + (1 << size) - 1)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit(*ac_enc[0xF0])
+                    run -= 16
+                v = zz[k]
+                sz = _mag_cat(v)
+                emit(*ac_enc[(run << 4) | sz])
+                emit(sz, v if v >= 0 else v + (1 << sz) - 1)
+                run = 0
+            if last_nz < 63:
+                emit(*ac_enc[0x00])  # EOB
+    if nbits:
+        emit(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_c) + bytes(dc_s)) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_c) + bytes(ac_s)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xFF\xD8" + dqt + sof + dht + sos + bytes(out) + b"\xFF\xD9"
+    )
+
+
+def jpeg_tile_value(media_id: int, tx: int, ty: int) -> int:
+    """THE fixture tile formula — constant value of the 8×8 tile at tile
+    coords (tx, ty); shared with the SQL oracle. Constant tiles are
+    DC-only, which baseline JPEG stores exactly under an all-ones quant
+    table, so the decode is certifiable with exact integer sums."""
+    return (media_id * 5 + 11 * tx + 17 * ty) % 256
+
+
+def jpeg_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic grayscale JPEG media table: dims 8·(1 + id%3) ×
+    8·(1 + id%2), pixels = constant 8×8 tiles from
+    :func:`jpeg_tile_value` — same Arrow-batched mapInPandas plumbing as
+    the PNG/GIF fixtures."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+                px = [
+                    [
+                        jpeg_tile_value(mid, x // 8, y // 8)
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(encode_jpeg_gray(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema="media_id long, kind string, mime string, payload binary",
+    )
+
+
 def decode_wav(payload: bytes):
     """(n_channels, sample_rate, n_frames, sample_width_bytes, frames)
     via the stdlib ``wave`` module."""
@@ -615,6 +1073,14 @@ def stdlib_media_decoder(
                 sums[0] += r
                 sums[1] += g
                 sums[2] += b
+        feats = [float(w), float(h)] + [float(s) for s in sums]
+    elif mime == "image/jpeg":
+        w, h, ch, rows = decode_jpeg(payload)
+        sums = [0] * ch
+        for row in rows:
+            for px in row:
+                for c in range(ch):
+                    sums[c] += px[c]
         feats = [float(w), float(h)] + [float(s) for s in sums]
     elif mime == "image/bmp":
         w, h, rows = decode_bmp(payload)

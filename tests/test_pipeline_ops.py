@@ -971,3 +971,81 @@ def test_gif_media_pipeline(spark):
         assert feats[mid][:5] == [float(w), float(h)] + [
             float(v) for v in expect
         ]
+
+
+# a real libjpeg-encoded 2x2 grayscale JPEG (standard quant + Annex K
+# Huffman tables, JFIF header) — proves decode_jpeg reads tables and
+# streams produced by a FOREIGN encoder, not only our fixture encoder
+_LIBJPEG_2X2 = bytes.fromhex(
+    "ffd8ffe000104a46494600010100000100010000ffdb0043000806060706"
+    "05080707070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20"
+    "242e2720222c231c1c2837292c30313434341f27393d38323c2e333432ff"
+    "c0000b080002000201011100ffc4001f00000105010101010101000000000"
+    "00000000102030405060708090a0bffc400b51000020103030204030505040"
+    "40000017d01020300041105122131410613516107227114328191a1082342"
+    "b1c11552d1f02433627282090a161718191a25262728292a3435363738393a"
+    "434445464748494a535455565758595a636465666768696a73747576777879"
+    "7a838485868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5"
+    "b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8"
+    "e9eaf1f2f3f4f5f6f7f8f9faffda0008010100003f002bffd9"
+)
+
+
+def test_jpeg_codec_exact_tiles_and_general(spark):
+    import math
+
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    # DC-only constant tiles decode bit-exactly (the oracle's premise)
+    for mid in (0, 5, 17, 42):
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        px = [[mm.jpeg_tile_value(mid, x // 8, y // 8) for x in range(w)]
+              for y in range(h)]
+        dw, dh, nc, rows = mm.decode_jpeg(mm.encode_jpeg_gray(px))
+        assert (dw, dh, nc) == (w, h, 1)
+        assert [[p[0] for p in row] for row in rows] == px
+
+    # general AC-bearing content round-trips within ±1 at quant=1
+    w, h = 24, 16
+    px = [[(3 * x + 5 * y + int(20 * math.sin(x * 0.7) * math.cos(y * 0.5)))
+           % 256 for x in range(w)] for y in range(h)]
+    _, _, _, rows = mm.decode_jpeg(mm.encode_jpeg_gray(px))
+    assert max(abs(rows[y][x][0] - px[y][x])
+               for y in range(h) for x in range(w)) <= 1
+
+    # non-multiple-of-8 dims (edge-replication padding, decoder crop)
+    w, h = 13, 9
+    px = [[(x * 7 + y * 11) % 256 for x in range(w)] for y in range(h)]
+    dw, dh, _, rows = mm.decode_jpeg(mm.encode_jpeg_gray(px))
+    assert (dw, dh) == (w, h)
+    assert max(abs(rows[y][x][0] - px[y][x])
+               for y in range(h) for x in range(w)) <= 1
+
+    # FOREIGN encoder: libjpeg file with JFIF APP0 + Annex K tables
+    dw, dh, nc, rows = mm.decode_jpeg(_LIBJPEG_2X2)
+    assert (dw, dh, nc) == (2, 2, 1)
+    assert sum(p[0] for row in rows for p in row) == 512  # uniform gray
+
+    # documented limitations are loud
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        mm.decode_jpeg(b"nope")
+
+
+def test_jpeg_media_pipeline(spark):
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in (0, 5, 17)], ["doc_id"])
+    feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(
+            mm.jpeg_media_from_ids(ids), decoder=mm.stdlib_media_decoder
+        ).collect()
+    }
+    for mid in (0, 5, 17):
+        tw, th = 1 + mid % 3, 1 + mid % 2
+        total = sum(
+            64 * mm.jpeg_tile_value(mid, tx, ty)
+            for tx in range(tw) for ty in range(th)
+        )
+        assert feats[mid][:3] == [float(tw * 8), float(th * 8), float(total)]
