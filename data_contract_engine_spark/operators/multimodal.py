@@ -576,12 +576,13 @@ def gif_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 # ---- JPEG: baseline sequential DCT decoder (stdlib only) ----------------
 #
-# The decoder is GENERAL for baseline JPEGs without chroma subsampling:
-# canonical Huffman tables built from the file's own DHT segments (so it
-# reads any conforming encoder's tables, not just ours), byte-unstuffing,
-# restart markers, dequantize, zigzag, float IDCT, level shift. The
-# fixture encoder keeps its embedded tables simple (all DC symbols at 4
-# bits, all 162 AC symbols at 8 bits — valid canonical tables) and uses
+# The decoder is GENERAL for baseline JPEGs: canonical Huffman tables
+# built from the file's own DHT segments (so it reads any conforming
+# encoder's tables, not just ours), byte-unstuffing, restart markers,
+# chroma subsampling up to 2×2 (4:2:0 / 4:2:2 / 4:4:4 MCU interleave,
+# replicated upsampling), dequantize, zigzag, float IDCT, level shift.
+# The fixture encoder keeps its embedded tables simple (all DC symbols at
+# 4 bits, all 162 AC symbols at 8 bits — valid canonical tables) and uses
 # an all-ones quant table, so constant 8×8 tiles decode BIT-EXACTLY
 # (DC-only blocks: IDCT(DC)/8 == the tile value) and the SQL oracle can
 # certify the decode with exact integer sums, JPEG's lossiness
@@ -736,11 +737,12 @@ def decode_jpeg(payload: bytes):
             comps = []
             for i in range(n):
                 cid, sampling, tq = seg[6 + 3 * i : 9 + 3 * i]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0x0F
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"sampling factors {hi}x{vi} unsupported (max 2x2)"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC4:  # DHT
@@ -775,20 +777,24 @@ def decode_jpeg(payload: bytes):
     if comps is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
 
+    cmap = {cid: (tq, hi, vi) for cid, tq, hi, vi in comps}
     order = []
     for cid, dc_id, ac_id in scan_comps:
-        tq = dict(comps)[cid]
-        order.append((qt[tq], huff[(0, dc_id)], huff[(1, ac_id)]))
-
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+        tq, hi, vi = cmap[cid]
+        order.append((qt[tq], huff[(0, dc_id)], huff[(1, ac_id)], hi, vi))
+    hmax = max(o[3] for o in order)
+    vmax = max(o[4] for o in order)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [
-        [[0] * (bw * 8) for _ in range(bh * 8)] for _ in range(len(order))
+        [[0] * (mcux * hi * 8) for _ in range(mcuy * vi * 8)]
+        for (_q, _d, _a, hi, vi) in order
     ]
     reader = _JpegBitReader(payload, pos)
     preds = [0] * len(order)
     mcu_count = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_count and \
                     mcu_count % restart_interval == 0:
                 # byte-align: drop buffered pad bits, consume the RSTn
@@ -802,35 +808,42 @@ def decode_jpeg(payload: bytes):
                 reader.pos += 2
                 preds = [0] * len(order)
             mcu_count += 1
-            for ci, (quant, dc_tab, ac_tab) in enumerate(order):
-                coef = [0] * 64
-                size = _huff_decode(reader, dc_tab)
-                diff = _extend(reader.bits(size), size) if size else 0
-                preds[ci] += diff
-                coef[0] = preds[ci] * quant[0]
-                k = 1
-                while k < 64:
-                    rs = _huff_decode(reader, ac_tab)
-                    run, sz = rs >> 4, rs & 0x0F
-                    if sz == 0:
-                        if run == 15:  # ZRL
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    coef[_ZIGZAG[k]] = (
-                        _extend(reader.bits(sz), sz) * quant[k]
-                    )
-                    k += 1
-                block = _idct_block(coef)
-                for y in range(8):
-                    row = planes[ci][by * 8 + y]
-                    for x in range(8):
-                        row[bx * 8 + x] = block[y][x]
+            for ci, (quant, dc_tab, ac_tab, hi, vi) in enumerate(order):
+                for iby in range(vi):
+                    for ibx in range(hi):
+                        coef = [0] * 64
+                        size = _huff_decode(reader, dc_tab)
+                        diff = (
+                            _extend(reader.bits(size), size) if size else 0
+                        )
+                        preds[ci] += diff
+                        coef[0] = preds[ci] * quant[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, ac_tab)
+                            run, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            coef[_ZIGZAG[k]] = (
+                                _extend(reader.bits(sz), sz) * quant[k]
+                            )
+                            k += 1
+                        block = _idct_block(coef)
+                        oy = (my * vi + iby) * 8
+                        ox = (mx * hi + ibx) * 8
+                        for y in range(8):
+                            row = planes[ci][oy + y]
+                            for x in range(8):
+                                row[ox + x] = block[y][x]
 
     nc = len(order)
+    samp = [(hi, vi) for (_q, _d, _a, hi, vi) in order]
     rows = []
     for y in range(h):
         row = []
@@ -838,10 +851,15 @@ def decode_jpeg(payload: bytes):
             if nc == 1:
                 row.append((planes[0][y][x],))
             else:
-                Y, cb, cr = (
-                    planes[0][y][x],
-                    planes[1][y][x] - 128,
-                    planes[2][y][x] - 128,
+                # replicated (nearest) upsampling of subsampled chroma
+                Y = planes[0][y * samp[0][1] // vmax][x * samp[0][0] // hmax]
+                cb = (
+                    planes[1][y * samp[1][1] // vmax][x * samp[1][0] // hmax]
+                    - 128
+                )
+                cr = (
+                    planes[2][y * samp[2][1] // vmax][x * samp[2][0] // hmax]
+                    - 128
                 )
                 r = int(round(Y + 1.402 * cr))
                 g = int(round(Y - 0.344136 * cb - 0.714136 * cr))
@@ -907,6 +925,69 @@ def _mag_cat(v: int) -> int:
     return size
 
 
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def emit(self, length, code):
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad(self):
+        if self.nbits:
+            self.emit(8 - self.nbits, (1 << (8 - self.nbits)) - 1)
+
+
+def _encode_block(wr, block, pred, dc_enc, ac_enc) -> int:
+    """Forward-DCT, quantize (by 1), entropy-code one 8×8 spatial block;
+    returns the new DC predictor."""
+    coef = [int(round(c)) for c in _fdct_block(block)]
+    zz = [coef[_ZIGZAG[k]] for k in range(64)]
+    diff = zz[0] - pred
+    size = _mag_cat(diff)
+    wr.emit(*dc_enc[size])
+    if size:
+        wr.emit(size, diff if diff >= 0 else diff + (1 << size) - 1)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            wr.emit(*ac_enc[0xF0])
+            run -= 16
+        v = zz[k]
+        sz = _mag_cat(v)
+        wr.emit(*ac_enc[(run << 4) | sz])
+        wr.emit(sz, v if v >= 0 else v + (1 << sz) - 1)
+        run = 0
+    if last_nz < 63:
+        wr.emit(*ac_enc[0x00])  # EOB
+    return zz[0]
+
+
+def _clip_block(pixels, bx, by, w, h):
+    return [
+        [
+            pixels[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)]
+            for x in range(8)
+        ]
+        for y in range(8)
+    ]
+
+
 def encode_jpeg_gray(pixels) -> bytes:
     """Inverse of :func:`decode_jpeg` for grayscale fixtures: baseline
     SOF0, all-ones quant table (so DC-only constant tiles round-trip
@@ -920,58 +1001,16 @@ def encode_jpeg_gray(pixels) -> bytes:
     dc_enc = _huff_encode_map(dc_c, dc_s)
     ac_enc = _huff_encode_map(ac_c, ac_s)
 
-    out = bytearray()
-    acc = nbits = 0
-
-    def emit(length, code):
-        nonlocal acc, nbits
-        acc = (acc << length) | code
-        nbits += length
-        while nbits >= 8:
-            byte = (acc >> (nbits - 8)) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-            nbits -= 8
-        acc &= (1 << nbits) - 1
-
+    wr = _JpegBitWriter()
     pred = 0
     bw, bh = (w + 7) // 8, (h + 7) // 8
     for by in range(bh):
         for bx in range(bw):
-            block = [
-                [
-                    pixels[min(by * 8 + y, h - 1)][min(bx * 8 + x, w - 1)]
-                    for x in range(8)
-                ]
-                for y in range(8)
-            ]
-            coef = [int(round(c)) for c in _fdct_block(block)]
-            zz = [coef[_ZIGZAG[k]] for k in range(64)]
-            diff = zz[0] - pred
-            pred = zz[0]
-            size = _mag_cat(diff)
-            emit(*dc_enc[size])
-            if size:
-                emit(size, diff if diff >= 0 else diff + (1 << size) - 1)
-            run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    emit(*ac_enc[0xF0])
-                    run -= 16
-                v = zz[k]
-                sz = _mag_cat(v)
-                emit(*ac_enc[(run << 4) | sz])
-                emit(sz, v if v >= 0 else v + (1 << sz) - 1)
-                run = 0
-            if last_nz < 63:
-                emit(*ac_enc[0x00])  # EOB
-    if nbits:
-        emit(8 - nbits, (1 << (8 - nbits)) - 1)  # pad with 1s
+            pred = _encode_block(
+                wr, _clip_block(pixels, bx, by, w, h), pred, dc_enc, ac_enc
+            )
+    wr.pad()
+    out = wr.out
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -985,6 +1024,65 @@ def encode_jpeg_gray(pixels) -> bytes:
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
         b"\xFF\xD8" + dqt + sof + dht + sos + bytes(out) + b"\xFF\xD9"
+    )
+
+
+def encode_jpeg_color420(y_rows, cb_rows, cr_rows) -> bytes:
+    """Baseline 4:2:0 YCbCr encoder — the testing twin of the subsampled
+    decode path. Y at full resolution, Cb/Cr at half (ceil(w/2) ×
+    ceil(h/2)); MCU interleave = 4 Y blocks + 1 Cb + 1 Cr; all-ones
+    quant table and the simple canonical Huffman tables."""
+    import struct
+
+    h = len(y_rows)
+    w = len(y_rows[0]) if h else 0
+    cw, chh = (w + 1) // 2, (h + 1) // 2
+    if len(cb_rows) != chh or len(cb_rows[0]) != cw or \
+            len(cr_rows) != chh or len(cr_rows[0]) != cw:
+        raise ValueError(
+            f"chroma planes must be {cw}x{chh} for a {w}x{h} image"
+        )
+    (dc_c, dc_s), (ac_c, ac_s) = _jpeg_fixture_tables()
+    dc_enc = _huff_encode_map(dc_c, dc_s)
+    ac_enc = _huff_encode_map(ac_c, ac_s)
+
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for iby in range(2):
+                for ibx in range(2):
+                    preds[0] = _encode_block(
+                        wr,
+                        _clip_block(y_rows, mx * 2 + ibx, my * 2 + iby, w, h),
+                        preds[0], dc_enc, ac_enc,
+                    )
+            preds[1] = _encode_block(
+                wr, _clip_block(cb_rows, mx, my, cw, chh),
+                preds[1], dc_enc, ac_enc,
+            )
+            preds[2] = _encode_block(
+                wr, _clip_block(cr_rows, mx, my, cw, chh),
+                preds[2], dc_enc, ac_enc,
+            )
+    wr.pad()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        bytes([8]) + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_c) + bytes(dc_s)) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_c) + bytes(ac_s)
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (
+        b"\xFF\xD8" + dqt + sof + dht + sos + bytes(wr.out) + b"\xFF\xD9"
     )
 
 

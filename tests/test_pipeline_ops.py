@@ -1049,3 +1049,36 @@ def test_jpeg_media_pipeline(spark):
             for tx in range(tw) for ty in range(th)
         )
         assert feats[mid][:3] == [float(tw * 8), float(th * 8), float(total)]
+
+
+def test_jpeg_chroma_subsampling_420(spark):
+    """4:2:0 MCU interleave + replicated chroma upsampling: a constant-
+    color subsampled image decodes to the exact YCbCr→RGB conversion,
+    and a luma gradient under constant chroma survives bit-near."""
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    w, h = 24, 16
+    Y0, CB0, CR0 = 120, 90, 160
+    cb = [[CB0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+    cr = [[CR0] * ((w + 1) // 2) for _ in range((h + 1) // 2)]
+
+    payload = mm.encode_jpeg_color420([[Y0] * w for _ in range(h)], cb, cr)
+    dw, dh, nc, rows = mm.decode_jpeg(payload)
+    assert (dw, dh, nc) == (w, h, 3)
+    clamp = lambda v: max(0, min(255, round(v)))
+    exp = (
+        clamp(Y0 + 1.402 * (CR0 - 128)),
+        clamp(Y0 - 0.344136 * (CB0 - 128) - 0.714136 * (CR0 - 128)),
+        clamp(Y0 + 1.772 * (CB0 - 128)),
+    )
+    assert all(px == exp for row in rows for px in row)
+
+    yp = [[(5 * x + 9 * y) % 256 for x in range(w)] for y in range(h)]
+    _, _, _, rows = mm.decode_jpeg(mm.encode_jpeg_color420(yp, cb, cr))
+    for y in range(h):
+        for x in range(w):
+            assert abs(rows[y][x][0]
+                       - clamp(yp[y][x] + 1.402 * (CR0 - 128))) <= 3
+
+    with pytest.raises(ValueError):
+        mm.encode_jpeg_color420([[0] * 8] * 8, [[0] * 9] * 4, [[0] * 4] * 4)
