@@ -695,6 +695,20 @@ def q_media_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_media_mp4_samples(spark, sf_dir):
+    """REAL MP4 container parsing under the oracle gate: deterministic
+    single-track MP4s (full ftyp/moov/stbl box tree, one chunk) built
+    Spark-side, then parse_mp4 walks the boxes — mvhd duration, hdlr,
+    stsd codec fourcc, tkhd dims, stsz sample sizes — and
+    mp4_sample_table emits one row per sample. The oracle recomputes
+    everything from the generator formulas; any box-walk or sample-table
+    bug breaks the match. (Codec DECODE stays the documented seam —
+    the container layer is what 100 TB video sharding actually needs.)"""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.mp4_media_from_ids(d)
+    return multimodal.mp4_sample_table(media)
+
+
 # ---- streaming semantics under the oracle gate ----------------------------
 #
 # Each gate replays the flagship stream in two AvailableNow phases over a
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_decode": q_media_png_decode,
         "media_gif_decode": q_media_gif_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
+        "media_mp4_samples": q_media_mp4_samples,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
@@ -1602,6 +1617,23 @@ SELECT media_id, (tw * 8)::INT AS width, (th * 8)::INT AS height,
        sum(64 * ((media_id * 5 + 11 * tx + 17 * ty) % 256))::BIGINT
          AS sum_luma
 FROM tiles GROUP BY media_id, tw, th
+""",
+        # real MP4 container parse: per-sample table replayed from the
+        # fixture generator formulas (mp4_media_from_ids docstring)
+        "media_mp4_samples": """
+WITH ids AS (SELECT doc_id AS media_id, 3 + doc_id % 5 AS n
+             FROM documents),
+samples AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS sample_idx
+  FROM ids
+)
+SELECT media_id, sample_idx::INT AS sample_idx,
+       (10 + (media_id * 7 + sample_idx * 3) % 50)::INT AS sample_size,
+       (n * (40 + media_id % 25))::INT AS duration_ms,
+       'avc1' AS codec,
+       (64 + 16 * (media_id % 4))::INT AS width,
+       (48 + 16 * (media_id % 3))::INT AS height
+FROM samples
 """,
         # streaming replays: exact SQL functions of the two-phase split
         # under the pinned watermark semantics (streaming/replay.py)

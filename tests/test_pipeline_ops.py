@@ -1082,3 +1082,75 @@ def test_jpeg_chroma_subsampling_420(spark):
 
     with pytest.raises(ValueError):
         mm.encode_jpeg_color420([[0] * 8] * 8, [[0] * 9] * 4, [[0] * 4] * 4)
+
+
+def test_codec_property_roundtrips(spark):
+    """Property: random images round-trip the stdlib codecs — GIF and
+    PNG exactly, JPEG within ±1 (IDCT rounding at quant=1)."""
+    from hypothesis import given, settings, strategies as st
+
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    palette = [mm.gif_palette_entry(i) for i in range(256)]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 24), st.randoms(use_true_random=False)
+    )
+    def check(w, h, rnd):
+        idx = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        dw, dh, drows = mm.decode_gif(mm.encode_gif(idx, palette))
+        assert (dw, dh) == (w, h)
+        assert drows == [[palette[i] for i in row] for row in idx]
+
+        px = [[rnd.randrange(256) for _ in range(w)] for _ in range(h)]
+        pw, ph, ch, prow = mm.decode_png(mm.encode_png(
+            [[(v, (v * 7) % 256, (v * 13) % 256) for v in row] for row in px]
+        ))
+        assert (pw, ph, ch) == (w, h, 3)
+        assert [[p[0] for p in r] for r in prow] == px
+
+        jw, jh, nc, jrows = mm.decode_jpeg(mm.encode_jpeg_gray(px))
+        assert (jw, jh, nc) == (w, h, 1)
+        assert max(
+            abs(jrows[y][x][0] - px[y][x])
+            for y in range(h) for x in range(w)
+        ) <= 1
+
+    check()
+
+
+def test_mp4_container_parse(spark):
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    sizes = [12, 34, 56]
+    payload = mm.encode_mp4_stub(sizes, duration_ms=120, width=96, height=64)
+    info = mm.parse_mp4(payload)
+    assert info["brand"] == "isom" and info["duration_ms"] == 120
+    t = info["tracks"][0]
+    assert t["handler"] == "vide" and t["codec"] == "avc1"
+    assert t["sample_sizes"] == sizes
+    assert (t["width"], t["height"]) == (96, 64)
+    # the chunk offset points INSIDE the payload at the real mdat bytes
+    off = t["chunk_offsets"][0]
+    assert payload[off : off + 3] == bytes((7 * 0 + j) % 256
+                                           for j in range(3))
+    with pytest.raises(ValueError):
+        mm.parse_mp4(b"garbage!")
+    with pytest.raises(ValueError):
+        mm.parse_mp4(payload[:40])  # truncated box
+
+    # Spark-side sample table
+    ids = spark.createDataFrame([(i,) for i in (0, 7)], ["doc_id"])
+    rows = mm.mp4_sample_table(mm.mp4_media_from_ids(ids)).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid in (0, 7):
+        n = 3 + mid % 5
+        got = sorted(by_id[mid], key=lambda r: r["sample_idx"])
+        assert [r["sample_size"] for r in got] == [
+            10 + (mid * 7 + i * 3) % 50 for i in range(n)
+        ]
+        assert got[0]["duration_ms"] == n * (40 + mid % 25)
+        assert got[0]["codec"] == "avc1"
