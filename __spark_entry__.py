@@ -709,6 +709,19 @@ def q_media_mp4_samples(spark, sf_dir):
     return multimodal.mp4_sample_table(media)
 
 
+def q_media_mp3_frames(spark, sf_dir):
+    """REAL MP3 frame parsing under the oracle gate: deterministic VBR
+    MPEG-1 Layer III streams (real frame headers, per-frame bitrate,
+    padding bits, leading ID3v2 tag) built Spark-side, then
+    parse_mp3_frames walks the syncs and mp3_frame_table emits one row
+    per frame with its exact byte range. The oracle replays the frame-
+    length arithmetic (144000·kbps/sr + pad) and the running offsets
+    from the generator formulas — any sync-walk bug breaks the match."""
+    d = _read(spark, sf_dir, "documents")
+    media = multimodal.mp3_media_from_ids(d)
+    return multimodal.mp3_frame_table(media)
+
+
 # ---- streaming semantics under the oracle gate ----------------------------
 #
 # Each gate replays the flagship stream in two AvailableNow phases over a
@@ -949,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_decode": q_media_gif_decode,
         "media_jpeg_decode": q_media_jpeg_decode,
         "media_mp4_samples": q_media_mp4_samples,
+        "media_mp3_frames": q_media_mp3_frames,
         "stream_windowed_verdicts": q_stream_windowed_verdicts,
         "stream_dedup_state": q_stream_dedup_state,
         "stream_microbatch_engine": q_stream_microbatch_engine,
@@ -1634,6 +1648,37 @@ SELECT media_id, sample_idx::INT AS sample_idx,
        (64 + 16 * (media_id % 4))::INT AS width,
        (48 + 16 * (media_id % 3))::INT AS height
 FROM samples
+""",
+        # real MP3 frame walk: per-frame lengths + running byte offsets
+        # replayed from the VBR generator formulas (mp3_media_from_ids)
+        "media_mp3_frames": """
+WITH ids AS (SELECT doc_id AS media_id, 4 + doc_id % 6 AS n,
+                    (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                          ELSE 32000 END) AS sr,
+                    10 + doc_id % 20 AS tag
+             FROM documents),
+frames AS (
+  SELECT media_id, n, sr, tag,
+         unnest(generate_series(0, n - 1)) AS i
+  FROM ids
+),
+calc AS (
+  SELECT media_id, i AS frame_idx, sr, tag,
+         (list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320))
+           [(media_id + i) % 14 + 1] AS kbps,
+         i % 2 AS pad
+  FROM frames
+),
+flen AS (
+  SELECT *, (144000 * kbps) // sr + pad AS fb FROM calc
+)
+SELECT media_id, frame_idx::INT AS frame_idx,
+       (tag + coalesce(sum(fb) OVER (
+           PARTITION BY media_id ORDER BY frame_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       )::BIGINT AS byte_offset,
+       fb::INT AS frame_bytes, kbps::INT AS bitrate_kbps, sr::INT AS sample_rate
+FROM flen
 """,
         # streaming replays: exact SQL functions of the two-phase split
         # under the pinned watermark semantics (streaming/replay.py)

@@ -1402,6 +1402,150 @@ def mp4_sample_table(df: DataFrame) -> DataFrame:
     )
 
 
+# ---- MP3: MPEG-1 Layer III frame-header parsing (stdlib only) ------------
+#
+# Real frame-sync walking — ID3v2 skip, per-frame header decode (bitrate/
+# samplerate/padding), exact frame lengths — so audio sharding targets
+# genuine frame boundaries. Full audio DECODE (huffman + IMDCT + synthesis
+# filterbank) stays the documented seam, like video codecs.
+
+_MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112,
+                 128, 160, 192, 224, 256, 320)  # MPEG-1 Layer III, kbps
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def parse_mp3_frames(payload: bytes):
+    """(frames, duration_ms) for an MPEG-1 Layer III stream, walking
+    frame syncs exactly (VBR streams included). Skips a leading ID3v2
+    tag. Each frame dict: offset, bytes, bitrate_kbps, sample_rate,
+    channel_mode. Raises on lost sync / truncation / other layers."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = (
+            ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    frames = []
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"lost MP3 frame sync at byte {pos}")
+        if (b1 >> 3) & 0x03 != 3 or (b1 >> 1) & 0x03 != 1:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(f"bad bitrate/samplerate index at {pos}")
+        kbps = _MP3_BITRATES[br_idx - 1]
+        sr = _MP3_RATES[sr_idx]
+        pad = (b2 >> 1) & 1
+        flen = 144000 * kbps // sr + pad
+        if pos + flen > len(payload):
+            raise ValueError(f"truncated MP3 frame at byte {pos}")
+        frames.append({
+            "offset": pos, "bytes": flen, "bitrate_kbps": kbps,
+            "sample_rate": sr, "channel_mode": (b3 >> 6) & 3,
+        })
+        pos += flen
+    if pos != len(payload):
+        raise ValueError("trailing bytes after the last MP3 frame")
+    duration_ms = round(
+        sum(1152000.0 / f["sample_rate"] for f in frames)
+    )
+    return frames, duration_ms
+
+
+def encode_mp3_stub(frame_params, tag_bytes: int = 0) -> bytes:
+    """Minimal VALID MPEG-1 Layer III stream for fixtures: real frame
+    headers (so lengths/bitrates parse exactly, VBR supported), fake
+    audio payload bytes, optional ID3v2 tag of ``tag_bytes`` total size.
+    ``frame_params``: list of (bitrate_index 1-14, samplerate_index 0-2,
+    padding 0/1)."""
+    out = bytearray()
+    if tag_bytes:
+        if tag_bytes < 10:
+            raise ValueError("ID3v2 tag must be >= 10 bytes")
+        body = tag_bytes - 10
+        out += b"ID3" + bytes([3, 0, 0]) + bytes([
+            (body >> 21) & 0x7F, (body >> 14) & 0x7F,
+            (body >> 7) & 0x7F, body & 0x7F,
+        ]) + bytes(body)
+    for bi, si, pad in frame_params:
+        kbps = _MP3_BITRATES[bi - 1]
+        sr = _MP3_RATES[si]
+        flen = 144000 * kbps // sr + pad
+        # 0xFB = sync tail + MPEG-1 + Layer III + no CRC
+        out += bytes([0xFF, 0xFB, (bi << 4) | (si << 2) | (pad << 1), 0])
+        out += bytes((j * 11) % 256 for j in range(flen - 4))
+    return bytes(out)
+
+
+def mp3_media_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP3 media table: per id, an ID3v2 tag of
+    10 + id%20 bytes then n = 4 + id%6 frames with per-frame (VBR)
+    bitrate index 1 + (id+i)%14, samplerate index id%3, padding i%2."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                n = 4 + mid % 6
+                params = [
+                    (1 + (mid + i) % 14, mid % 3, i % 2) for i in range(n)
+                ]
+                payloads.append(
+                    encode_mp3_stub(params, tag_bytes=10 + mid % 20)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "audio",
+                    "mime": "audio/mpeg",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema="media_id long, kind string, mime string, payload binary",
+    )
+
+
+def mp3_frame_table(df: DataFrame) -> DataFrame:
+    """Per-frame byte ranges from REAL header parsing: one row per MP3
+    frame — (media_id, frame_idx, byte_offset, frame_bytes,
+    bitrate_kbps, sample_rate). Arrow-batched mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "byte_offset": [],
+                "frame_bytes": [], "bitrate_kbps": [], "sample_rate": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, _dur = parse_mp3_frames(bytes(payload))
+                for i, fr in enumerate(frames):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["byte_offset"].append(fr["offset"])
+                    out["frame_bytes"].append(fr["bytes"])
+                    out["bitrate_kbps"].append(fr["bitrate_kbps"])
+                    out["sample_rate"].append(fr["sample_rate"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, byte_offset long, "
+            "frame_bytes int, bitrate_kbps int, sample_rate int"
+        ),
+    )
+
+
 def decode_wav(payload: bytes):
     """(n_channels, sample_rate, n_frames, sample_width_bytes, frames)
     via the stdlib ``wave`` module."""

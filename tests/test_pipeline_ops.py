@@ -1154,3 +1154,42 @@ def test_mp4_container_parse(spark):
         ]
         assert got[0]["duration_ms"] == n * (40 + mid % 25)
         assert got[0]["codec"] == "avc1"
+
+
+def test_mp3_frame_parsing(spark):
+    from data_contract_engine_spark.operators import multimodal as mm
+
+    # VBR stream with ID3v2 tag: offsets/lengths exact
+    params = [(5, 0, 0), (14, 0, 1), (1, 0, 0)]
+    payload = mm.encode_mp3_stub(params, tag_bytes=25)
+    frames, dur = mm.parse_mp3_frames(payload)
+    assert len(frames) == 3
+    off = 25
+    for fr, (bi, si, pad) in zip(frames, params):
+        kbps = mm._MP3_BITRATES[bi - 1]
+        flen = 144000 * kbps // 44100 + pad
+        assert (fr["offset"], fr["bytes"], fr["bitrate_kbps"]) == (
+            off, flen, kbps
+        )
+        off += flen
+    assert dur == round(3 * 1152000 / 44100)
+
+    for bad in (b"junk", payload[:-5]):
+        with pytest.raises(ValueError):
+            mm.parse_mp3_frames(bad)
+
+    # Spark-side frame table matches the per-file parse
+    ids = spark.createDataFrame([(i,) for i in (0, 13)], ["doc_id"])
+    rows = mm.mp3_frame_table(mm.mp3_media_from_ids(ids)).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid in (0, 13):
+        n = 4 + mid % 6
+        got = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert len(got) == n
+        assert got[0]["byte_offset"] == 10 + mid % 20
+        for i in range(1, n):
+            assert got[i]["byte_offset"] == (
+                got[i - 1]["byte_offset"] + got[i - 1]["frame_bytes"]
+            )
