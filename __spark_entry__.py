@@ -206,6 +206,30 @@ def q_drift_psi(spark, sf_dir):
     )
 
 
+def q_drift_ks(spark, sf_dir):
+    """Kolmogorov–Smirnov drift of text-length over the same parity
+    split and fixed edges as the PSI gate — the supremum-distance view
+    of the drift family. Pure window cumsum over the joined histograms;
+    the oracle replays the CDF arithmetic digit-for-digit."""
+    tr = _transcripts(spark, sf_dir)
+    parity = F.pmod(F.substring("conv_id", 6, 18).cast("long"), F.lit(2))
+    cur = tr.filter(parity == 1).selectExpr("length(text) as v")
+    base = tr.filter(parity == 0).selectExpr("length(text) as v")
+    ks = drift.ks_drift(cur, base, "v", edges=TEXTLEN_EDGES)
+    return spark.createDataFrame(
+        [("v", round(ks, 6))], "column string, ks double"
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Document chunking: 24-token windows with 8-token overlap over the
+    whitespace token stream — the long-doc → training-length-chunks
+    stage. The oracle replays starts, slices and joined chunk text
+    exactly (1-based DuckDB list slicing vs Spark's F.slice)."""
+    d = _read(spark, sf_dir, "documents")
+    return textstats.chunk_documents(d, max_tokens=24, overlap=8)
+
+
 def q_drift_psi_categorical(spark, sf_dir):
     """Categorical drift: PSI/KL over the role frequency distribution,
     even- vs odd-numbered conversations — the enum-field drift check
@@ -927,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_histogram_textlen": q_drift_histogram,
         "drift_psi_textlen": q_drift_psi,
         "drift_psi_categorical": q_drift_psi_categorical,
+        "drift_ks_textlen": q_drift_ks,
+        "chunk_documents": q_chunk_documents,
         "daily_rollup": q_daily_rollup,
         "tpch_pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1577,6 +1603,44 @@ FROM documents
         "ivf_ann_top10": _ivf_oracle(),
         "drift_psi_textlen": _drift_psi_oracle(hist_case),
         "drift_psi_categorical": _drift_psi_cat_oracle(),
+        # KS over the same parity split / fixed bins: cumulative CDF diff
+        "drift_ks_textlen": _T
+        + f"""
+, binned AS (
+  SELECT ({hist_case}) AS bin,
+         (substring(conv_id, 6)::BIGINT % 2) AS grp
+  FROM transcripts
+), h AS (
+  SELECT bin,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::DOUBLE AS c,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::DOUBLE AS b
+  FROM binned GROUP BY bin
+), cum AS (
+  SELECT sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+           / (sum(c) OVER ()) AS fc,
+         sum(b) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+           / (sum(b) OVER ()) AS fb
+  FROM h
+)
+SELECT 'v' AS "column", round(max(abs(fc - fb)), 6) AS ks FROM cum
+""",
+        # chunking: 1-based list slices replay F.slice windows exactly
+        "chunk_documents": """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 16)) AS s
+  FROM t
+)
+SELECT doc_id, ((s - 1) // 16)::INT AS chunk_idx,
+       len(toks[s : s + 23])::INT AS n_tokens,
+       array_to_string(toks[s : s + 23], ' ') AS chunk_text
+FROM st
+WHERE len(toks[s : s + 23]) > 0
+""",
         "media_features_pandas": _MEDIA_FEATURES_SQL,
         # real PNG decode: oracle recomputes channel sums from the shared
         # pixel formula (multimodal.png_pixel_value) — exact integers

@@ -113,6 +113,53 @@ def psi_kl_from_histograms(
     return DriftScore(column=column, psi=r["psi"], kl=r["kl"], bins=r["bins"])
 
 
+def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
+    """Two-sample Kolmogorov–Smirnov statistic from binned histograms:
+    max |CDF_cur − CDF_base| over the shared bins. Pure Column math on
+    the bins-sized joined frame (the single-partition window is fine at
+    histogram scale); no smoothing, so an external SQL oracle replays the
+    arithmetic digit-for-digit. Complements PSI/KL: KS is the
+    supremum-distance view (sensitive to a single shifted mode), PSI/KL
+    the mass-ratio view."""
+    from pyspark.sql import Window
+
+    cur = current.select("bin", F.col("cnt").alias("c"))
+    base = baseline.select("bin", F.col("cnt").alias("b"))
+    j = cur.join(base, "bin", "full_outer").fillna({"c": 0, "b": 0})
+    wall = Window.partitionBy()
+    worder = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = j.select(
+        (F.sum("c").over(worder) / F.sum("c").over(wall)).alias("fc"),
+        (F.sum("b").over(worder) / F.sum("b").over(wall)).alias("fb"),
+    )
+    row = cum.agg(
+        F.max(F.abs(F.col("fc") - F.col("fb"))).alias("ks")
+    ).collect()[0]
+    return float(row["ks"]) if row["ks"] is not None else 0.0
+
+
+def ks_drift(
+    current_df: DataFrame,
+    baseline_df: DataFrame,
+    column: str,
+    bins: int = 10,
+    edges: Optional[Sequence[float]] = None,
+) -> float:
+    """End-to-end KS drift for one column: edges from the baseline,
+    both sides binned, KS from the joined histograms."""
+    edges = list(edges) if edges is not None else quantile_edges(
+        baseline_df, column, bins
+    )
+    if not edges:
+        return 0.0
+    return ks_from_histograms(
+        histogram(current_df, column, edges),
+        histogram(baseline_df, column, edges),
+    )
+
+
 def psi_kl(
     current_df: DataFrame,
     baseline_df: DataFrame,

@@ -334,3 +334,51 @@ def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's whitespace-token stream into fixed-size
+    windows — the "long doc → training-length chunks" stage of a
+    pretraining pipeline. One row per chunk::
+
+        (id_col, chunk_idx, n_tokens, chunk_text)
+
+    Chunks start every ``max_tokens - overlap`` tokens, so consecutive
+    chunks share ``overlap`` tokens; the last chunk may be short; docs
+    with zero tokens yield no chunks. Pure Column pipeline (tokenize →
+    sequence of starts → posexplode → slice): zero shuffles, the explode
+    fan-out is bounded by doc length / step, and the whole thing is
+    deterministic so a SQL oracle replays chunk boundaries exactly."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+    )
+    ex = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, max_tokens)
+    return (
+        ex.select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

@@ -1193,3 +1193,47 @@ def test_mp3_frame_parsing(spark):
             assert got[i]["byte_offset"] == (
                 got[i - 1]["byte_offset"] + got[i - 1]["frame_bytes"]
             )
+
+
+def test_ks_drift(spark):
+    from data_contract_engine_spark.operators import drift
+
+    same = spark.createDataFrame([(float(i % 50),) for i in range(500)],
+                                 "v double")
+    shifted = spark.createDataFrame(
+        [(float(i % 50 + 30),) for i in range(500)], "v double"
+    )
+    edges = [10.0, 20.0, 30.0, 40.0]
+    assert drift.ks_drift(same, same, "v", edges=edges) == 0.0
+    ks = drift.ks_drift(shifted, same, "v", edges=edges)
+    assert 0.3 < ks <= 1.0
+    # identical distribution in different row order → 0
+    assert drift.ks_drift(same.orderBy(F.rand(7)), same, "v",
+                          edges=edges) == 0.0
+
+
+def test_chunk_documents(spark):
+    d = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (1, "a b c"),                               # 3 toks, 1 chunk
+            (2, ""),                                    # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.chunk_documents(d, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    got = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["n_tokens"] for r in got] == [4, 4, 4, 1]
+    assert got[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert got[1]["chunk_text"] == "t3 t4 t5 t6"   # 1-token overlap
+    assert got[3]["chunk_text"] == "t9"
+    assert [r["chunk_text"] for r in by_doc[1]] == ["a b c"]
+    assert 2 not in by_doc
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(d, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(d, max_tokens=0)
