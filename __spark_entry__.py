@@ -25,6 +25,7 @@ from data_contract_engine_spark.operators import (
     curation,
     decontaminate as decon,
     dedup,
+    lm,
     drift,
     multimodal,
     referential as ref_op,
@@ -579,6 +580,22 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filtering signal: per-doc mean token
+    log-prob under the corpus's own add-0.5 unigram LM (exact full-vocab
+    path; the library default caps the broadcast model at top-50k with
+    an exact-mass OOV bucket for 100 TB corpora). The oracle replays the
+    count arithmetic and log math digit-for-digit."""
+    d = _read(spark, sf_dir, "documents")
+    s = lm.unigram_perplexity(d, alpha=0.5, top_k=None)
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
 def q_repetition(spark, sf_dir):
     """Within-document repetition signals (Gopher-style filters): dup-gram
     and top-gram fractions over word bigrams."""
@@ -973,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_by_source": q_token_stats,
         "doc_fingerprints": q_fingerprints,
         "repetition_features": q_repetition,
+        "lm_perplexity_docs": q_lm_perplexity,
         "pii_redaction": q_pii_redaction,
         "hash_sample_docs": q_hash_sample,
         "stratified_sample_by_lang": q_stratified_sample,
@@ -1802,6 +1820,26 @@ FROM b
 """,
         "stream_drift_monitor": _stream_drift_oracle(hist_case),
         "repetition_features": _REPETITION_SQL,
+        # corpus-trained add-0.5 unigram LM: counts + log math replayed
+        "lm_perplexity_docs": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+scored AS (
+  SELECT t.doc_id,
+         ln((vc.c + 0.5) / (tot.n + 0.5 * (tot.v + 1))) AS logp
+  FROM toks t JOIN vocab vc ON vc.tok = t.tok, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(logp), 6) AS mean_logprob,
+       round(exp(-avg(logp)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+""",
         "pii_redaction": _pii_oracle(),
         "dedup_clusters": _CLUSTERS_SQL,
         "hash_sample_docs": f"""

@@ -1237,3 +1237,44 @@ def test_chunk_documents(spark):
         textstats.chunk_documents(d, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         textstats.chunk_documents(d, max_tokens=0)
+
+
+def test_unigram_perplexity_and_filter(spark):
+    import math
+
+    from data_contract_engine_spark.operators import lm
+
+    d = spark.createDataFrame(
+        [
+            (0, "a a a a"),            # all head tokens → low perplexity
+            (1, "a a q1 q2"),          # half rare tokens → higher
+            (2, ""),                   # no tokens → no score
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r for r in
+              lm.unigram_perplexity(d, top_k=None).collect()}
+    assert set(scores) == {0, 1}
+    assert scores[0]["perplexity"] < scores[1]["perplexity"]
+    # closed-form check for doc 0: corpus N=8, V=3, p(a)=(6+.5)/(8+.5*4)
+    expect = -math.log(6.5 / 10.0)
+    assert scores[0]["mean_logprob"] == pytest.approx(-expect, abs=1e-9)
+
+    # capped-vocab path: top_k=1 keeps only 'a'; OOV bucket carries the
+    # exact tail mass (2 tokens over 2 tail types → avg 1.0 per type)
+    capped = {r["doc_id"]: r for r in
+              lm.unigram_perplexity(d, top_k=1).collect()}
+    oov_logp = math.log((2 / 2 + 0.5) / 10.0)
+    head_logp = math.log(6.5 / 10.0)
+    assert capped[1]["mean_logprob"] == pytest.approx(
+        (2 * head_logp + 2 * oov_logp) / 4, abs=1e-9
+    )
+
+    kept = lm.perplexity_filter(
+        d, max_perplexity=scores[0]["perplexity"] + 1e-9, top_k=None
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 2}  # doc 1 cut; zero-token doc kept
+
+    with pytest.raises(ValueError):
+        lm.unigram_perplexity(d, alpha=0)
