@@ -547,6 +547,15 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_cap_per_source(spark, sf_dir):
+    """Domain-frequency capping: keep at most 15 docs per source,
+    chosen deterministically by the portable hash (ties by id). The
+    oracle replays the rank-and-filter exactly."""
+    d = _read(spark, sf_dir, "documents")
+    out = sampling.cap_per_group(d, 15, "source")
+    return out.select("doc_id", "source")
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic corpus shuffle: reproducible pseudo-random training
     order as (shard, shard_pos) from the portable key hash — one shuffle,
@@ -997,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": q_pack_sequences,
         "decontaminate_docs": q_decontaminate,
         "corpus_shuffle_docs": q_corpus_shuffle,
+        "cap_per_source": q_cap_per_source,
         "corpus_curation": q_curate_corpus,
         "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
@@ -1935,6 +1945,17 @@ SELECT doc_id, n_tokens, shard,
        (prev_cum // 256)::BIGINT AS pack_id,
        (prev_cum % 256)::BIGINT AS pack_offset
 FROM ordered2
+""",
+        "cap_per_source": """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))
+                      ::BIGINT, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rk <= 15
 """,
         "corpus_shuffle_docs": """
 WITH t AS (

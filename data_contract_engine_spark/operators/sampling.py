@@ -173,6 +173,39 @@ def pack_sequences(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    max_per_group: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per ``group_col`` value — the
+    domain-frequency cap of a web-corpus pipeline (no single domain may
+    dominate the training mix). Selection is deterministic: rows rank by
+    the portable key hash (ties by key), so the survivors are stable
+    across runs/engines/repartitions and an external SQL oracle replays
+    membership exactly.
+
+    Scale: ONE shuffle on the group column for the ranking window.
+    Per-task state is the group's row set — a pathologically hot domain
+    concentrates on one task, which is exactly the case the cap exists
+    for; if a single group exceeds task memory, pre-filter it with
+    :func:`hash_sample` before capping.
+    """
+    if max_per_group < 1:
+        raise ValueError(
+            f"max_per_group must be >= 1, got {max_per_group}"
+        )
+    h = portable_key_hash(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col))
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_per_group)
+        .drop("__rank")
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     n_shards: int = 64,

@@ -1278,3 +1278,27 @@ def test_unigram_perplexity_and_filter(spark):
 
     with pytest.raises(ValueError):
         lm.unigram_perplexity(d, alpha=0)
+
+
+def test_cap_per_group(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(i, "dom%d" % (i % 3)) for i in range(90)],
+        "doc_id long, source string",
+    )
+    out = sampling.cap_per_group(d, 5, "source")
+    rows = out.collect()
+    counts = {}
+    for r in rows:
+        counts[r["source"]] = counts.get(r["source"], 0) + 1
+    assert counts == {"dom0": 5, "dom1": 5, "dom2": 5}
+    # deterministic + repartition-stable
+    again = {r["doc_id"] for r in
+             sampling.cap_per_group(d.repartition(7), 5, "source").collect()}
+    assert again == {r["doc_id"] for r in rows}
+    # cap above group size keeps everything; schema untouched
+    assert sampling.cap_per_group(d, 100, "source").count() == 90
+    assert out.columns == d.columns
+    with pytest.raises(ValueError):
+        sampling.cap_per_group(d, 0, "source")
