@@ -232,6 +232,14 @@ def main():
         ).count(),
     )
 
+    # q10 — corpus-trained unigram-LM perplexity (capped top-k model)
+    from data_contract_engine_spark.operators import lm
+
+    run2(
+        "lm_perplexity",
+        lambda: lm.unigram_perplexity(docs, top_k=50_000).count(),
+    )
+
     # the headline total stays the SAME 5-query suite as rounds 1-2 so the
     # per-round series remains comparable; the skew twins are reported in
     # "queries" but not summed into it
