@@ -1660,7 +1660,7 @@ WITH t AS (
   FROM documents
 ), st AS (
   SELECT doc_id, toks,
-         unnest(generate_series(1, greatest(len(toks), 1), 16)) AS s
+         unnest(generate_series(1, greatest(len(toks) - 8, 1), 16)) AS s
   FROM t
 )
 SELECT doc_id, ((s - 1) // 16)::INT AS chunk_idx,

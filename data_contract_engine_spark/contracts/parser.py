@@ -302,6 +302,14 @@ def _parse_quality(raw: Any) -> QualityRules:
                             f"statistics['{fname}'].percentiles[{pk!r}] "
                             "needs 'min' and/or 'max'"
                         )
+                    for bk in ("min", "max"):
+                        if bk in bounds and not isinstance(
+                            bounds[bk], (int, float)
+                        ):
+                            raise ContractError(
+                                f"statistics['{fname}'].percentiles"
+                                f"[{pk!r}].{bk} must be a number"
+                            )
         out["statistics"] = dict(stats)
 
     if "referential" in raw:

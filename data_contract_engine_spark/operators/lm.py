@@ -56,7 +56,10 @@ def unigram_perplexity(
         F.col(id_col).alias("id"),
         F.explode(ws_tokens(F.col(text_col))).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # the word-count aggregate feeds three jobs (totals, top-k head,
+    # scoring-side broadcast build) — persist it so the corpus is
+    # tokenized and counted ONCE; Spark's LRU block manager reclaims it
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     totals = vocab.agg(
         F.sum("c").alias("n_tokens_total"),
         F.count(F.lit(1)).alias("v"),
@@ -65,10 +68,13 @@ def unigram_perplexity(
     v_total = int(totals["v"] or 0)
     denom = n_total + alpha * (v_total + 1)
     if n_total == 0:
-        return df.sparkSession.createDataFrame(
-            [],
-            f"{id_col} long, n_tokens long, mean_logprob double, "
-            "perplexity double",
+        vocab.unpersist()
+        # keep the caller's id type (empty frame, schema-faithful)
+        return df.select(F.col(id_col)).limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("mean_logprob"),
+            F.lit(0.0).alias("perplexity"),
         )
 
     if top_k is not None:

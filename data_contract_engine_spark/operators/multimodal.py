@@ -1416,9 +1416,11 @@ _MP3_RATES = (44100, 48000, 32000)
 
 def parse_mp3_frames(payload: bytes):
     """(frames, duration_ms) for an MPEG-1 Layer III stream, walking
-    frame syncs exactly (VBR streams included). Skips a leading ID3v2
-    tag. Each frame dict: offset, bytes, bitrate_kbps, sample_rate,
-    channel_mode. Raises on lost sync / truncation / other layers."""
+    frame syncs exactly (VBR streams included). Tolerates the common
+    real-world wrappers: a leading ID3v2 tag (incl. the v2.4 footer
+    flag) and a trailing 128-byte ID3v1 'TAG' block. Each frame dict:
+    offset, bytes, bitrate_kbps, sample_rate, channel_mode. Raises on
+    lost sync / truncation / other layers."""
     pos = 0
     if payload[:3] == b"ID3":
         if len(payload) < 10:
@@ -1428,8 +1430,13 @@ def parse_mp3_frames(payload: bytes):
             | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
         )
         pos = 10 + size
+        if payload[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes
+            pos += 10
     frames = []
     while pos + 4 <= len(payload):
+        # ubiquitous real-world trailer: a 128-byte ID3v1 'TAG' block
+        if payload[pos : pos + 3] == b"TAG" and len(payload) - pos == 128:
+            return frames, _mp3_duration_ms(frames)
         b0, b1, b2, b3 = payload[pos : pos + 4]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
             raise ValueError(f"lost MP3 frame sync at byte {pos}")
@@ -1452,10 +1459,11 @@ def parse_mp3_frames(payload: bytes):
         pos += flen
     if pos != len(payload):
         raise ValueError("trailing bytes after the last MP3 frame")
-    duration_ms = round(
-        sum(1152000.0 / f["sample_rate"] for f in frames)
-    )
-    return frames, duration_ms
+    return frames, _mp3_duration_ms(frames)
+
+
+def _mp3_duration_ms(frames) -> int:
+    return round(sum(1152000.0 / f["sample_rate"] for f in frames))
 
 
 def encode_mp3_stub(frame_params, tag_bytes: int = 0) -> bytes:

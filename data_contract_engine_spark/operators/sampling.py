@@ -179,13 +179,17 @@ def cap_per_group(
     group_col: str,
     key_col: str = "doc_id",
     seed: int = 42,
+    on_null: str = "drop",
 ) -> DataFrame:
     """Keep at most ``max_per_group`` rows per ``group_col`` value — the
     domain-frequency cap of a web-corpus pipeline (no single domain may
     dominate the training mix). Selection is deterministic: rows rank by
     the portable key hash (ties by key), so the survivors are stable
     across runs/engines/repartitions and an external SQL oracle replays
-    membership exactly.
+    membership exactly. Rows with a NULL ``key_col`` follow ``on_null``
+    ('drop', the default, or 'keep' — ranked LAST, matching SQL
+    nulls-last so the oracle replay holds), mirroring
+    :func:`hash_sample`'s explicit policy.
 
     Scale: ONE shuffle on the group column for the ranking window.
     Per-task state is the group's row set — a pathologically hot domain
@@ -197,8 +201,20 @@ def cap_per_group(
         raise ValueError(
             f"max_per_group must be >= 1, got {max_per_group}"
         )
+    if on_null == "drop":
+        df = df.filter(F.col(key_col).isNotNull())
+    elif on_null != "keep":
+        raise ValueError(f"on_null must be 'drop' or 'keep', got {on_null!r}")
+    clash = {"__rank"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"cap_per_group needs the internal column name {sorted(clash)} "
+            "free; rename it in the input"
+        )
     h = portable_key_hash(F.col(key_col), seed)
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col))
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
     return (
         df.withColumn("__rank", F.row_number().over(w))
         .filter(F.col("__rank") <= max_per_group)

@@ -350,11 +350,14 @@ def chunk_documents(
         (id_col, chunk_idx, n_tokens, chunk_text)
 
     Chunks start every ``max_tokens - overlap`` tokens, so consecutive
-    chunks share ``overlap`` tokens; the last chunk may be short; docs
-    with zero tokens yield no chunks. Pure Column pipeline (tokenize →
-    sequence of starts → posexplode → slice): zero shuffles, the explode
-    fan-out is bounded by doc length / step, and the whole thing is
-    deterministic so a SQL oracle replays chunk boundaries exactly."""
+    chunks share ``overlap`` tokens; the last chunk may be short but is
+    only emitted if it contributes at least one NEW token (a start
+    within the previous chunk's overlap region would duplicate training
+    text the pipeline's dedup stages exist to prevent); docs with zero
+    tokens yield no chunks. Pure Column pipeline (tokenize → sequence of
+    starts → posexplode → slice): zero shuffles, the explode fan-out is
+    bounded by doc length / step, and the whole thing is deterministic
+    so a SQL oracle replays chunk boundaries exactly."""
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
     if overlap < 0 or overlap >= max_tokens:
@@ -364,8 +367,10 @@ def chunk_documents(
     step = max_tokens - overlap
     toks = ws_tokens(F.col(text_col))
     n = F.size(toks)
+    # a chunk starting at s adds tokens (s + overlap, s + max]; it is
+    # non-redundant iff s = 0 or s + overlap < n → bound n - overlap - 1
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)
+        F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)), F.lit(step)
     )
     ex = df.select(
         F.col(id_col),

@@ -1225,12 +1225,20 @@ def test_chunk_documents(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 0: starts 0,3,6,9 → chunks of 4,4,4,1 tokens
+    # doc 0: starts 0,3,6 → chunks of 4,4,4 tokens; a 4th chunk at 9
+    # would only repeat t9 (already covered by chunk 2) and is NOT
+    # emitted — every chunk must contribute at least one new token
     got = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
-    assert [r["n_tokens"] for r in got] == [4, 4, 4, 1]
+    assert [r["n_tokens"] for r in got] == [4, 4, 4]
     assert got[0]["chunk_text"] == "t0 t1 t2 t3"
     assert got[1]["chunk_text"] == "t3 t4 t5 t6"   # 1-token overlap
-    assert got[3]["chunk_text"] == "t9"
+    assert got[2]["chunk_text"] == "t6 t7 t8 t9"
+    covered = set()
+    for r in got:
+        toks = set(r["chunk_text"].split())
+        assert toks - covered                      # new tokens each chunk
+        covered |= toks
+    assert covered == {f"t{i}" for i in range(10)}  # nothing lost
     assert [r["chunk_text"] for r in by_doc[1]] == ["a b c"]
     assert 2 not in by_doc
     with pytest.raises(ValueError):
@@ -1302,3 +1310,52 @@ def test_cap_per_group(spark):
     assert out.columns == d.columns
     with pytest.raises(ValueError):
         sampling.cap_per_group(d, 0, "source")
+
+
+def test_review_fixes_mp3_trailer_lm_schema_cap_nulls(spark):
+    """Round-3 review findings: ID3v1 trailer tolerated; empty-corpus LM
+    keeps the caller's id type; cap_per_group NULL/clash policies."""
+    from data_contract_engine_spark.operators import lm, multimodal as mm
+    from data_contract_engine_spark.operators import sampling
+
+    # MP3 with a trailing 128-byte ID3v1 tag parses cleanly
+    body = mm.encode_mp3_stub([(5, 0, 0), (9, 1, 1)])
+    tagged = body + b"TAG" + bytes(125)
+    frames, _ = mm.parse_mp3_frames(tagged)
+    assert len(frames) == 2
+    # ...but arbitrary trailing garbage still raises
+    with pytest.raises(ValueError):
+        mm.parse_mp3_frames(body + b"XXX" + bytes(125))
+
+    # empty corpus with STRING ids: schema-faithful empty result
+    d = spark.createDataFrame([("a", " "), ("b", "")],
+                              "doc_id string, text string")
+    out = lm.unigram_perplexity(d)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
+    # and the filter path keeps everything (nothing scored over limit)
+    assert lm.perplexity_filter(d, 10.0).count() == 2
+
+    # cap_per_group: NULL keys drop by default, rank last with 'keep'
+    dn = spark.createDataFrame(
+        [(None, "g"), (1, "g"), (2, "g"), (3, "g")],
+        "doc_id long, source string",
+    )
+    assert sampling.cap_per_group(dn, 3, "source").count() == 3
+    kept = sampling.cap_per_group(dn, 4, "source", on_null="keep")
+    assert kept.count() == 4
+    three = sampling.cap_per_group(dn, 3, "source", on_null="keep")
+    assert all(r["doc_id"] is not None for r in three.collect())
+    with pytest.raises(ValueError):
+        sampling.cap_per_group(dn.withColumn("__rank", F.lit(1)), 1,
+                               "source")
+    with pytest.raises(ValueError):
+        sampling.cap_per_group(dn, 1, "source", on_null="banana")
+
+    # parser: non-numeric percentile bound is a clean ContractError
+    from data_contract_engine_spark.contracts.model import ContractError
+    from data_contract_engine_spark.contracts.parser import _parse_quality
+    with pytest.raises(ContractError):
+        _parse_quality(
+            {"statistics": {"v": {"percentiles": {0.5: {"min": "seven"}}}}}
+        )
