@@ -589,6 +589,21 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Keyword extraction: top-3 tf-idf terms per document with the
+    plain ln(N/df) idf; deterministic tie-break (score desc, term asc)
+    so the oracle replays the exact top-k, log math included."""
+    d = _read(spark, sf_dir, "documents")
+    out = textstats.tfidf_top_terms(d, k=3)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style perplexity filtering signal: per-doc mean token
     log-prob under the corpus's own add-0.5 unigram LM (exact full-vocab
@@ -1000,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "repetition_features": q_repetition,
         "lm_perplexity_docs": q_lm_perplexity,
+        "tfidf_top_terms": q_tfidf_terms,
         "pii_redaction": q_pii_redaction,
         "hash_sample_docs": q_hash_sample,
         "stratified_sample_by_lang": q_stratified_sample,
@@ -1830,6 +1846,31 @@ FROM b
 """,
         "stream_drift_monitor": _stream_drift_oracle(hist_case),
         "repetition_features": _REPETITION_SQL,
+        # tf-idf keyword extraction: exact top-k replay incl. log math
+        "tfidf_top_terms": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         tf.tf * ln(n.nd / dfreq.doc_freq) AS score
+  FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+""",
         # corpus-trained add-0.5 unigram LM: counts + log math replayed
         "lm_perplexity_docs": """
 WITH toks AS (

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
 BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -334,6 +334,50 @@ def doc_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` terms per document by tf-idf (keyword extraction)::
+
+        (id_col, term, tf, doc_freq, score, rank)
+
+    score = tf · ln(N / doc_freq) with raw term frequency and the plain
+    log idf (terms appearing in every document score 0). Ranking is
+    deterministic (score desc, then term asc), so an external SQL oracle
+    replays the exact top-k.
+
+    Scale: (id, term) hash-agg → term-level doc-frequency hash-agg →
+    shuffle join on the term (no broadcast of the vocabulary) → per-doc
+    ranking window. All four stages are standard partitioned shuffles;
+    per-task window state is one document's distinct terms.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ws_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term", "tf", "doc_freq", "score", "rank",
+        )
+    )
 
 
 def chunk_documents(

@@ -1359,3 +1359,34 @@ def test_review_fixes_mp3_trailer_lm_schema_cap_nulls(spark):
         _parse_quality(
             {"statistics": {"v": {"percentiles": {0.5: {"min": "seven"}}}}}
         )
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    d = spark.createDataFrame(
+        [
+            (0, "apple apple banana shared"),
+            (1, "cherry shared shared"),
+            (2, "apple durian shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(d, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'shared' is in all 3 docs → idf ln(1) = 0: never rank 1, and
+    # only present where a doc has fewer than k scoring terms
+    for rs in by_doc.values():
+        for r in rs:
+            if r["term"] == "shared":
+                assert r["rank"] > 1 and r["score"] == 0.0
+    got0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    # banana: tf 1 · ln(3/1) = 1.099 beats apple: tf 2 · ln(3/2) = 0.811
+    assert got0[0]["term"] == "banana"
+    assert got0[0]["score"] == pytest.approx(math.log(3.0), abs=1e-9)
+    assert got0[1]["term"] == "apple" and got0[1]["tf"] == 2
+    assert got0[1]["score"] == pytest.approx(2 * math.log(3 / 2), abs=1e-9)
+    with pytest.raises(ValueError):
+        textstats.tfidf_top_terms(d, k=0)
