@@ -291,9 +291,12 @@ def cmd_textstats(args) -> int:
     spark = build_session(app_name="dce-textstats")
     df = _read_table_or_path(spark, args.input, args.format)
     ops = set(args.ops.split(","))
-    # distinct spine: a duplicated doc id would otherwise multiply rows
-    # through every left join below
-    out = df.select(F.col(args.id_col)).distinct()
+    # one row per id BEFORE computing features: a duplicated doc id
+    # would otherwise fan out multiplicatively through the left joins
+    # below (each op frame carries one row per INPUT row, so a distinct
+    # spine alone does not prevent 2^k rows for a doubled id)
+    df = df.dropDuplicates([args.id_col])
+    out = df.select(F.col(args.id_col))
     if "quality" in ops:
         out = out.join(ts.quality_features(df, args.text_col, args.id_col),
                        args.id_col, "left")

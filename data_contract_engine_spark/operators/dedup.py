@@ -505,10 +505,22 @@ def duplicate_clusters(
     labels persist to the fault-tolerant store, trading per-round write
     IO for survivability. Labels are identical either way (pinned by
     test_operators.py::test_duplicate_clusters_reliable_checkpoint).
+
+    Hygiene notes for the reliable path: the SparkContext checkpoint dir
+    is app-global state — this function only SETS it when none is
+    configured yet and otherwise reuses the existing one (your configured
+    dir wins; pass the same path to direct these checkpoints). Reliable
+    checkpoint files are not auto-deleted by default — each converged run
+    leaves O(rounds) label snapshots; enable
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+    build or sweep the directory between jobs.
     """
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        existing = sc._jsc.sc().getCheckpointDir()
+        if not existing.isDefined():
+            sc.setCheckpointDir(checkpoint_dir)
 
         def _persist_round(frame: DataFrame) -> DataFrame:
             return frame.checkpoint(eager=True)

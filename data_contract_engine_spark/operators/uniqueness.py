@@ -104,10 +104,20 @@ def multi_duplicate_counts(df: DataFrame, keys: Sequence[KeySpec]):
         for c in cols:
             if c not in all_cols:
                 all_cols.append(c)
+    # duplicate or permuted specs resolve to the SAME grouping set (and
+    # the same grouping_id) — pass each set once, or the Expand emits
+    # every group twice and stage-2 counts double
+    unique_sets: List[List[str]] = []
+    seen = set()
+    for cols in key_lists:
+        fs = frozenset(cols)
+        if fs not in seen:
+            seen.add(fs)
+            unique_sets.append(list(cols))
     base = df.select(*all_cols)  # prune BEFORE the Expand
     gs = (
         base.groupingSets(
-            [list(c) for c in key_lists], *[F.col(c) for c in all_cols]
+            unique_sets, *[F.col(c) for c in all_cols]
         )
         .agg(
             F.count(F.lit(1)).alias("dup_count"),

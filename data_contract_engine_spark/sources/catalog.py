@@ -42,6 +42,7 @@ Reference analog: the Postgres store + scheduler retention
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -314,10 +315,14 @@ class SnapshotParquetCatalog(TableCatalog):
         if snap is None:
             return None
         paths = [os.path.join(self._dir(table), u["path"]) for u in snap["units"]]
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
         if not paths:
-            schema = T.StructType.fromJson(json.loads(snap["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(*paths)
+        # read with the MANIFEST's recorded schema (Iceberg semantics):
+        # an inferred read would sample footers, so a schema-evolved
+        # append (new column in later units) could silently drop the
+        # column depending on which footer wins
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def merge(self, table: str, updates: DataFrame, keys: Sequence[str]) -> None:
         from pyspark.sql import functions as F  # noqa: F401
@@ -344,6 +349,13 @@ class SnapshotParquetCatalog(TableCatalog):
         snap = self._snapshot(table)
         if snap is None:
             return 0
+        # manifest stats are stored tz-naive (UTC) — normalize an aware
+        # cutoff the same way, or naive-vs-aware comparison raises (the
+        # plain ParquetCatalog backend accepts aware cutoffs fine)
+        if getattr(cutoff, "tzinfo", None) is not None:
+            import datetime as _dt
+
+            cutoff = cutoff.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         parent = snap["version"]
         kept_units, removed = [], 0
         for unit in snap["units"]:
@@ -384,8 +396,12 @@ class SnapshotParquetCatalog(TableCatalog):
         sdir = os.path.join(tdir, "snapshots")
         removed_snaps = 0
         for name in os.listdir(sdir):
-            v = int(name[1:-5])  # v<N>.json
-            if v not in keep_versions:
+            # only touch manifest files we own (v<N>.json) — a stray
+            # editor backup / temp file must not abort the maintenance
+            m = re.fullmatch(r"v(\d+)\.json", name)
+            if not m:
+                continue
+            if int(m.group(1)) not in keep_versions:
                 os.remove(os.path.join(sdir, name))
                 removed_snaps += 1
         referenced = set()

@@ -354,3 +354,40 @@ def test_iceberg_catalog_execution(tmp_path):
     res = json.loads(line[0][7:])
     assert res["merge"] == {"a": 1, "b": 20, "c": 3}
     assert res["hist"] == 2
+
+
+def test_snapshot_review_fixes(spark, scat, tmp_path):
+    """Round-3 review findings: schema-evolved reads honor the manifest
+    schema; stray files in snapshots/ don't abort maintenance; tz-aware
+    retention cutoffs work."""
+    import datetime as dt
+    import os
+
+    scat.append("evo", spark.createDataFrame([(1, "x")], "a long, b string"))
+    scat.append(
+        "evo",
+        spark.createDataFrame([(2, "y", 9.0)], "a long, b string, c double"),
+    )
+    got = scat.read("evo")
+    assert "c" in got.columns          # recorded schema wins, not footers
+    rows = {r["a"]: r for r in got.collect()}
+    assert rows[2]["c"] == 9.0 and rows[1]["c"] is None
+
+    # stray file in snapshots/ is ignored by expire, not a crash
+    sdir = os.path.join(str(tmp_path / "snap_wh"), "evo", "snapshots")
+    with open(os.path.join(sdir, "v1.json~"), "w") as f:
+        f.write("backup")
+    scat.expire_snapshots("evo", retain_last=1)
+    assert os.path.exists(os.path.join(sdir, "v1.json~"))
+
+    # tz-aware cutoff: same semantics as a naive UTC one
+    scat.append(
+        "ret",
+        spark.createDataFrame(
+            [(1, dt.datetime(2020, 1, 1)), (2, dt.datetime(2025, 1, 1))],
+            "id long, ts timestamp",
+        ),
+    )
+    cut = dt.datetime(2022, 1, 1, tzinfo=dt.timezone.utc)
+    assert scat.delete_older_than("ret", "ts", cut) == 1
+    assert {r["id"] for r in scat.read("ret").collect()} == {2}

@@ -506,3 +506,20 @@ quality_rules:
 
     c = parse_contract_yaml(mk("{0.5: {min: 1}}"), name="t")  # valid
     assert c.quality.statistics["value"]["percentiles"] == {0.5: {"min": 1}}
+
+
+def test_multi_uniqueness_duplicate_key_specs(spark):
+    """Duplicate or permuted key specs resolve to ONE grouping set: the
+    counts must equal the single-spec answer, not double it."""
+    from data_contract_engine_spark.operators import uniqueness as uniq_op
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "conv_id string, turn_idx int"
+    )
+    single = uniq_op.multi_duplicate_reports(df, [["conv_id", "turn_idx"]])
+    doubled = uniq_op.multi_duplicate_reports(
+        df, [["conv_id", "turn_idx"], ["turn_idx", "conv_id"]]
+    )
+    (n_single, _), = single.values()
+    for n, _top in doubled.values():
+        assert n == n_single == 1
