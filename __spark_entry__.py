@@ -589,6 +589,22 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_lm_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram-LM perplexity (lam=0.75 chosen so 1−lam is
+    binary-exact on both engines): p = 0.75·p_bi(w2|w1) + 0.25·p_uni(w2),
+    all counts from the corpus itself, nothing broadcast — the model
+    joins as key-partitioned shuffles. The oracle replays the counts and
+    the interpolated log math digit-for-digit."""
+    d = _read(spark, sf_dir, "documents")
+    s = lm.bigram_perplexity(d, alpha=0.5, lam=0.75)
+    return s.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.round("perplexity", 4).alias("perplexity"),
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Keyword extraction: top-3 tf-idf terms per document with the
     plain ln(N/df) idf; deterministic tie-break (score desc, term asc)
@@ -1015,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "repetition_features": q_repetition,
         "lm_perplexity_docs": q_lm_perplexity,
+        "lm_bigram_perplexity": q_lm_bigram_perplexity,
         "tfidf_top_terms": q_tfidf_terms,
         "pii_redaction": q_pii_redaction,
         "hash_sample_docs": q_hash_sample,
@@ -1846,6 +1863,37 @@ FROM b
 """,
         "stream_drift_monitor": _stream_drift_oracle(hist_case),
         "repetition_features": _REPETITION_SQL,
+        # interpolated bigram LM: positional self-join builds the grams,
+        # counts + interpolation replayed exactly (0.75/0.25 are
+        # binary-exact doubles on both engines)
+        "lm_bigram_perplexity": """
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS tok
+  FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS s FROM documents)
+),
+uni AS (SELECT tok, count(*)::DOUBLE AS cu FROM toks GROUP BY tok),
+tot AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+grams AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+cbi AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM grams GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cb) AS cc FROM cbi GROUP BY w1),
+scored AS (
+  SELECT g.doc_id,
+         ln(0.75 * ((cbi.cb + 0.5) / (ctx.cc + 0.5 * (tot.v + 1)))
+            + 0.25 * ((uni.cu + 0.5) / (tot.n + 0.5 * (tot.v + 1)))) AS logp
+  FROM grams g
+  JOIN cbi ON cbi.w1 = g.w1 AND cbi.w2 = g.w2
+  JOIN ctx ON ctx.w1 = g.w1
+  JOIN uni ON uni.tok = g.w2, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(logp), 6) AS mean_logprob,
+       round(exp(-avg(logp)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+""",
         # tf-idf keyword extraction: exact top-k replay incl. log math
         "tfidf_top_terms": """
 WITH toks AS (

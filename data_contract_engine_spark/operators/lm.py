@@ -116,6 +116,95 @@ def unigram_perplexity(
     )
 
 
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated add-``alpha``
+    BIGRAM model trained on the corpus itself::
+
+        p(w2 | w1) = lam · p_bi(w2|w1) + (1 − lam) · p_uni(w2)
+        p_bi(w2|w1) = (c(w1,w2) + alpha) / (c_ctx(w1) + alpha · (V + 1))
+
+    Returns ``(id_col, n_bigrams, mean_logprob, perplexity)``; docs with
+    fewer than two tokens have no bigrams and are excluded.
+
+    Scale: unlike the unigram scorer, NOTHING broadcasts — the bigram
+    model, context counts and unigram table all join on their keys as
+    standard partitioned shuffle joins, so web-scale vocabularies are
+    fine. Shuffles: gram/token/context hash-aggs + three key-partitioned
+    joins + one doc-id agg, all map-side combined. Deterministic, so an
+    external SQL oracle replays the arithmetic exactly.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from .textstats import word_grams
+
+    toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(
+        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, v_total = int(totals["n"] or 0), int(totals["v"] or 0)
+    if n_total == 0:
+        return df.select(F.col(id_col)).limit(0).select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(0.0).alias("mean_logprob"),
+            F.lit(0.0).alias("perplexity"),
+        )
+    uni_denom = float(n_total + alpha * (v_total + 1))
+    p_uni = uni.select(
+        "tok", ((F.col("cu") + F.lit(alpha)) / F.lit(uni_denom)).alias("pu")
+    )
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_grams(F.col(text_col), 2)).alias("g"),
+    )
+    cbi = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    w1 = F.split(F.col("g"), " ").getItem(0)
+    ctx = cbi.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cc"))
+    model = (
+        cbi.withColumn("w1", w1)
+        .join(ctx, "w1")
+        .select(
+            "g",
+            (
+                (F.col("cb") + F.lit(alpha))
+                / (F.col("cc") + F.lit(alpha * (v_total + 1)))
+            ).alias("pb"),
+        )
+    )
+    w2 = F.split(F.col("g"), " ").getItem(1)
+    scored = (
+        grams.join(model, "g")
+        .withColumn("w2", w2)
+        .join(p_uni.withColumnRenamed("tok", "w2"), "w2")
+        .select(
+            "id",
+            F.log(
+                F.lit(lam) * F.col("pb") + F.lit(1.0 - lam) * F.col("pu")
+            ).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logp").alias("mean_logprob"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "mean_logprob",
+        F.exp(-F.col("mean_logprob")).alias("perplexity"),
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     max_perplexity: float,

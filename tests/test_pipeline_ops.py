@@ -1390,3 +1390,40 @@ def test_tfidf_top_terms(spark):
     assert got0[1]["score"] == pytest.approx(2 * math.log(3 / 2), abs=1e-9)
     with pytest.raises(ValueError):
         textstats.tfidf_top_terms(d, k=0)
+
+
+def test_bigram_perplexity(spark):
+    import math
+
+    from data_contract_engine_spark.operators import lm
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),      # fully predictable bigrams
+            (1, "a q b z a x"),      # novel transitions → higher ppl
+            (2, "solo"),             # 1 token → no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           lm.bigram_perplexity(d, alpha=0.5, lam=0.75).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_bigrams"] == 5
+    assert got[0]["perplexity"] < got[1]["perplexity"]
+
+    # closed-form spot check: corpus unigrams N=13 V=6; the bigram
+    # 'a b' occurs 3x, context 'a' starts 5 bigrams
+    n, v = 13, 6
+    p_bi = (3 + 0.5) / (5 + 0.5 * (v + 1))
+    p_uni_b = (4 + 0.5) / (n + 0.5 * (v + 1))
+    # doc 0 bigrams: 'a b' x3, 'b a' x2
+    p_bi_ba = (2 + 0.5) / (3 + 0.5 * (v + 1))  # 'b' starts 3 bigrams
+    p_uni_a = (5 + 0.5) / (n + 0.5 * (v + 1))
+    lp = (
+        3 * math.log(0.75 * p_bi + 0.25 * p_uni_b)
+        + 2 * math.log(0.75 * p_bi_ba + 0.25 * p_uni_a)
+    ) / 5
+    assert got[0]["mean_logprob"] == pytest.approx(lp, abs=1e-9)
+
+    with pytest.raises(ValueError):
+        lm.bigram_perplexity(d, lam=1.5)
