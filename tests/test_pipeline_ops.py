@@ -1427,3 +1427,42 @@ def test_bigram_perplexity(spark):
 
     with pytest.raises(ValueError):
         lm.bigram_perplexity(d, lam=1.5)
+
+
+def test_chunk_documents_property(spark):
+    """Property vs a Python reference: chunk starts/slices/coverage for
+    random doc lengths and (max_tokens, overlap) combos."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(0, 40),                  # n tokens
+        st.integers(1, 10),                  # max_tokens
+        st.integers(0, 9),                   # overlap (clamped below)
+    )
+    def check(n, max_tokens, overlap):
+        overlap = min(overlap, max_tokens - 1)
+        step = max_tokens - overlap
+        toks = [f"w{i}" for i in range(n)]
+        d = spark.createDataFrame([(0, " ".join(toks))],
+                                  "doc_id long, text string")
+        got = sorted(
+            textstats.chunk_documents(
+                d, max_tokens=max_tokens, overlap=overlap
+            ).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # python reference: starts while first chunk or new tokens exist
+        expect = []
+        s = 0
+        while n and (s == 0 or s + overlap < n):
+            if s < n:
+                expect.append(toks[s : s + max_tokens])
+            s += step
+        assert [r["chunk_text"].split() for r in got] == expect
+        assert [r["chunk_idx"] for r in got] == list(range(len(expect)))
+        if n:
+            covered = [t for c in expect for t in c]
+            assert set(covered) == set(toks)      # nothing lost
+
+    check()
