@@ -547,6 +547,21 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_upsample_docs(spark, sf_dir):
+    """Deterministic integer upsampling (data-mixing repetition): weight
+    1 + doc_id % 3 copies per doc; weight-0 rows (doc_id % 7 == 0 here)
+    drop — the oracle replays copies and the zero/NULL guard exactly."""
+    d = _read(spark, sf_dir, "documents")
+    weighted = d.withColumn(
+        "w",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(0)).otherwise(
+            (F.col("doc_id") % 3 + 1).cast("int")
+        ),
+    )
+    out = sampling.upsample_by_weight(weighted, "w")
+    return out.select("doc_id", "copy_idx")
+
+
 def q_cap_per_source(spark, sf_dir):
     """Domain-frequency capping: keep at most 15 docs per source,
     chosen deterministically by the portable hash (ties by id). The
@@ -1040,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": q_decontaminate,
         "corpus_shuffle_docs": q_corpus_shuffle,
         "cap_per_source": q_cap_per_source,
+        "upsample_docs": q_upsample_docs,
         "corpus_curation": q_curate_corpus,
         "dedup_clusters": q_dup_clusters,
         "media_payload_stats": q_media_stats,
@@ -2034,6 +2050,10 @@ SELECT doc_id, n_tokens, shard,
        (prev_cum // 256)::BIGINT AS pack_id,
        (prev_cum % 256)::BIGINT AS pack_offset
 FROM ordered2
+""",
+        "upsample_docs": """
+SELECT doc_id, unnest(generate_series(1, doc_id % 3 + 1))::INT AS copy_idx
+FROM documents WHERE doc_id % 7 <> 0
 """,
         "cap_per_source": """
 WITH ranked AS (

@@ -222,6 +222,34 @@ def cap_per_group(
     )
 
 
+def upsample_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    max_weight: int = 100,
+) -> DataFrame:
+    """Materialize integer repetition weights — the data-mixing stage
+    that repeats high-value documents N times (epochs-per-source style).
+    One output row per copy with a 1-based ``copy_idx`` column; weight 0
+    (or NULL, or negative) drops the row; weights clamp at
+    ``max_weight`` so a corrupt weight column cannot explode the output.
+    Deterministic (no RNG), a pure projection + bounded explode — zero
+    shuffles — and trivially replayable by a SQL oracle.
+    """
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
+    if "copy_idx" in df.columns:
+        raise ValueError(
+            "upsample_by_weight needs the 'copy_idx' output name free"
+        )
+    w = F.coalesce(F.col(weight_col).cast("int"), F.lit(0))
+    copies = F.when(
+        w >= 1, F.sequence(F.lit(1), F.least(w, F.lit(max_weight)))
+    ).otherwise(F.array().cast("array<int>"))
+    # (sequence(1, 0) would COUNT DOWN to [1, 0] — the when-guard above
+    # is what keeps weight-0 rows out instead of duplicating them)
+    return df.withColumn("copy_idx", F.explode(copies))
+
+
 def corpus_shuffle(
     df: DataFrame,
     n_shards: int = 64,

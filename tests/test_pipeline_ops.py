@@ -1466,3 +1466,23 @@ def test_chunk_documents_property(spark):
             assert set(covered) == set(toks)      # nothing lost
 
     check()
+
+
+def test_upsample_by_weight(spark):
+    from data_contract_engine_spark.operators import sampling
+
+    d = spark.createDataFrame(
+        [(0, 2), (1, 0), (2, None), (3, -5), (4, 1000)],
+        "doc_id long, w int",
+    )
+    out = sampling.upsample_by_weight(d, "w", max_weight=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    assert sorted(by_id[0]) == [1, 2]
+    assert 1 not in by_id and 2 not in by_id and 3 not in by_id  # 0/NULL/neg drop
+    assert sorted(by_id[4]) == list(range(1, 11))  # clamped at max_weight
+    with pytest.raises(ValueError):
+        sampling.upsample_by_weight(d.withColumn("copy_idx", F.lit(1)), "w")
+    with pytest.raises(ValueError):
+        sampling.upsample_by_weight(d, "w", max_weight=0)
