@@ -146,7 +146,12 @@ def bigram_perplexity(
     from .textstats import word_grams
 
     toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    # persist the AGGREGATED relations (model-sized, never the exploded
+    # token/gram streams): uni feeds totals + the p_uni join, cbi feeds
+    # the context agg + the model join — without persist each would
+    # re-tokenize the corpus per consumer (same finding the review made
+    # on the unigram scorer). Spark's LRU block manager reclaims them.
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu")).persist()
     totals = uni.agg(
         F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
@@ -167,7 +172,7 @@ def bigram_perplexity(
         F.col(id_col).alias("id"),
         F.explode(word_grams(F.col(text_col), 2)).alias("g"),
     )
-    cbi = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    cbi = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb")).persist()
     w1 = F.split(F.col("g"), " ").getItem(0)
     ctx = cbi.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cc"))
     model = (
