@@ -144,6 +144,27 @@ def jaccard_pairs(
     return jaccard_pairs_from_shingles(sh, threshold, max_shingle_freq)
 
 
+def stop_shingles(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
+    """(shingle) rows for shingles appearing in MORE than
+    ``max_shingle_freq`` docs — the relation every capped stage anti-joins
+    against. Small by construction (bounded by corpus_shingles / cap), so
+    it broadcasts; the frequency hash-agg that builds it is map-side
+    combined and ships only (shingle, count) keys."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") > max_shingle_freq)
+        .select("shingle")
+    )
+
+
+def drop_stop_shingles(sh: DataFrame, stop: DataFrame) -> DataFrame:
+    """Remove stop-shingles via a broadcast anti-join — at scale this
+    ships only the (small) stop list, never re-shuffling the full shingle
+    table the way an inner join against the frequency relation would."""
+    return sh.join(F.broadcast(stop), "shingle", "left_anti")
+
+
 def jaccard_pairs_from_shingles(
     sh: DataFrame,
     threshold: float = 0.8,
@@ -153,11 +174,7 @@ def jaccard_pairs_from_shingles(
     build the shingle table once and share it across stages (MinHash
     signatures + candidate verification reuse one table)."""
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f"))
-        sh = (
-            sh.join(freq.filter(F.col("f") <= max_shingle_freq), "shingle")
-            .select("id", "shingle")
-        )
+        sh = drop_stop_shingles(sh, stop_shingles(sh, max_shingle_freq))
     # sizes AFTER the stop-shingle filter: numerator and denominator must
     # share one shingle universe or jaccard under-estimates near threshold
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -314,26 +331,45 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
     balance: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the scale pipeline):
     returns (id_a, id_b, jaccard) ≥ threshold.
 
-    Stage shape: the signature stage shingles the FULL corpus once (one
-    explode + one hash-agg); the verify stage semi-joins the raw docs down
-    to candidate ids first and re-shingles only that small subset —
-    re-deriving the subset's shingles costs less than persisting the full
-    shingle table between stages (measured: persist was 1.8x slower at
-    sf0.1). ``max_shingle_freq`` defaults to ``None`` here (unlike
-    standalone :func:`jaccard_pairs`): the verify join only sees candidate
-    docs already pruned by LSH banding, and an uncapped universe keeps the
-    verified jaccard exact.
+    .. versionchanged:: round 4
+       ``max_shingle_freq`` previously defaulted to ``None`` and, when
+       set, capped only the VERIFY stage. It now defaults to 1000 and the
+       cap applies to the SIGNATURE stage too: the round-3 driver bench
+       measured an uncapped signature explode at 2.7× its balanced twin
+       when one shingle was shared by 50% of docs (the stop-shingle
+       inflates the shingle table AND the same-bucket candidate rate).
+       A shingle in f ≫ cluster-size docs carries no dedup signal, so the
+       cap costs recall only for pairs whose similarity rides on corpus-
+       universal shingles — and both the signatures and the verified
+       jaccard use the SAME filtered universe, so every reported value is
+       the exact Jaccard over retained shingles (never mixed-universe).
+       Pass ``max_shingle_freq=None`` for the old uncapped behavior.
+
+    Stage shape: one shingle explode feeds (a) a frequency hash-agg whose
+    over-cap tail becomes the broadcast stop-shingle list and (b) the
+    signature hash-agg (after the broadcast anti-join). The verify stage
+    semi-joins the raw docs down to candidate ids first and re-shingles
+    only that small subset — re-deriving the subset's shingles costs less
+    than persisting the full shingle table between stages (measured:
+    persist was 1.8x slower at sf0.1). The stop list is built once and
+    reused by both stages (Spark's ReuseExchange dedupes the frequency
+    aggregate inside the one composed plan).
     """
     if balance:
         df = balance_input(df)
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    sh = shingle_table(df, id_col, text_col, k)
+    stop = None
+    if max_shingle_freq is not None:
+        stop = stop_shingles(sh, max_shingle_freq)
+        sh = drop_stop_shingles(sh, stop)
+    sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidates(sigs, bands, rows_per_band)
     # verify only candidate pairs, and WITHOUT the explode/self-join shape
     # of standalone jaccard_pairs: each candidate doc's distinct-shingle
@@ -350,17 +386,22 @@ def minhash_near_duplicates(
         id_col,
         "left_semi",
     )
-    if max_shingle_freq is not None:
-        # frequency capping needs the corpus-wide shingle relation — fall
-        # back to the explode-join verify on the candidate subset
-        pairs = jaccard_pairs(
-            sub, id_col, text_col, k, threshold, max_shingle_freq
+    if stop is not None:
+        # capped verify over the SAME filtered universe as the signatures:
+        # re-shingle only candidate docs, drop the same broadcast stop
+        # list, group back to per-doc shingle sets. Docs whose every
+        # shingle is a stop-shingle have an empty retained set and drop
+        # out here (0/0 jaccard is undefined; such docs are boilerplate
+        # by definition).
+        cand_sh = drop_stop_shingles(
+            shingle_table(sub, id_col, text_col, k), stop
         )
-        return pairs.join(cand, ["id_a", "id_b"], "left_semi")
-    sets = sub.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("ss"),
-    )
+        sets = cand_sh.groupBy("id").agg(F.collect_set("shingle").alias("ss"))
+    else:
+        sets = sub.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("ss"),
+        )
     a = sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ssa"))
     b = sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ssb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
@@ -641,3 +682,145 @@ def embedding_near_duplicates(
     return joined.select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup_pairs(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    exact: bool = False,
+    planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Within-cluster embedding near-dup pairs (id_a, id_b, cosine,
+    list_id) ≥ threshold over an IVF-assigned table (``list_id`` column
+    from :func:`~..similarity.ivf_assign` / ``ivf_index``) — the pair
+    stage of SemDeDup-style semantic dedup: only pairs inside the same
+    coarse cluster are considered.
+
+    Scale shape (default, ``exact=False``): candidates come from banded
+    hyperplane LSH *conditioned on the cluster* — the join key is
+    (list_id, band, bucket), so a bucket collision across clusters never
+    produces a candidate, and the per-key group size stays ≈ near-dup
+    cluster size. Exact cosine verifies every candidate (precision 1.0;
+    banding bounds recall, like every LSH path in this module).
+
+    ``exact=True`` replaces LSH with the within-cluster all-pairs join —
+    O(cluster²) per cluster, the literal SemDeDup formulation and the
+    SQL-oracle-replayable spec. Use it when clusters are balanced and
+    bounded (n_lists sized so corpus/n_lists² pairs are affordable); a
+    pathologically hot cluster makes this quadratic, which is exactly
+    what the LSH default avoids.
+    """
+    from .similarity import cosine, hyperplane_band_buckets
+
+    vecs = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
+    )
+    if exact:
+        a = vecs.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"), "list_id"
+        )
+        b = vecs.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), "list_id"
+        )
+        joined = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
+        return joined.select(
+            "id_a", "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine"),
+            "list_id",
+        ).filter(F.col("cosine") >= threshold)
+    if dim is None:
+        first = assigned.select(vec_col).first()
+        dim = len(first[0]) if first and first[0] is not None else 64
+    with_b = vecs.select(
+        "id", "list_id",
+        F.posexplode(
+            hyperplane_band_buckets(
+                F.col("v"), planes=planes, bands=bands, seed=seed, dim=dim
+            )
+        ).alias("band", "bucket"),
+    )
+    a = with_b.select(F.col("id").alias("id_a"), "list_id", "band", "bucket")
+    b = with_b.select(F.col("id").alias("id_b"), "list_id", "band", "bucket")
+    pairs = (
+        a.join(b, ["list_id", "band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("list_id", "id_a", "id_b")
+        .distinct()
+    )
+    joined = pairs.join(
+        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(
+        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+    )
+    return joined.select(
+        "id_a", "id_b",
+        cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        "list_id",
+    ).filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: Optional[List[List[float]]] = None,
+    n_lists: int = 16,
+    seed: int = 42,
+    exact: bool = False,
+    planes: int = 16,
+    bands: int = 4,
+    dim: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (LAION / SemDeDup lineage,
+    arXiv:2303.09540): coarse-cluster the embedding space, find
+    near-duplicate pairs *within* each cluster, collapse transitive
+    matches into components, keep the minimum-id representative of each.
+    Returns the survivor table ``(id_col, list_id)``.
+
+    Stages (each one already certified piecewise elsewhere):
+
+    1. **assign** — ``centroids`` given → deterministic
+       :func:`~..similarity.ivf_assign` (argmax-cosine projection, no
+       fit, SQL-replayable); else a learned KMeans quantizer via
+       ``ivf_index`` (production path). Assignment is a pure map —
+       at 100 TB the ``list_id`` would be written once as a partition
+       column so every later stage prunes to clusters at the scan.
+    2. **pair** — :func:`semantic_dedup_pairs` (within-cluster LSH by
+       default; ``exact=True`` for the all-pairs oracle spec).
+    3. **group** — :func:`duplicate_clusters` min-label components over
+       the pairs (transitive A~B~C collapses to one group even when
+       A~C misses the threshold).
+    4. **keep** — survivors = everything minus non-representative
+       component members (one broadcast-sized anti-join: dropped ids ≈
+       duplicate count, not corpus size).
+    """
+    if centroids is not None:
+        from .similarity import ivf_assign
+
+        assigned = ivf_assign(emb_df, centroids, id_col, vec_col)
+    else:
+        from .similarity import ivf_index
+
+        _, assigned = ivf_index(
+            emb_df, id_col, vec_col, n_lists=n_lists, seed=seed
+        )
+    pairs = semantic_dedup_pairs(
+        assigned, id_col, vec_col, threshold,
+        exact=exact, planes=planes, bands=bands, seed=seed, dim=dim,
+    )
+    comp = duplicate_clusters(
+        pairs.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+    )
+    dropped = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "list_id"
+    )

@@ -1486,3 +1486,70 @@ def test_upsample_by_weight(spark):
         sampling.upsample_by_weight(d.withColumn("copy_idx", F.lit(1)), "w")
     with pytest.raises(ValueError):
         sampling.upsample_by_weight(d, "w", max_weight=0)
+
+
+def test_semantic_dedup_exact_and_lsh(spark):
+    """SemDeDup composition: deterministic IVF assignment + within-cluster
+    near-dup pairs + component collapse -> min-id survivors. The LSH
+    candidate path must agree with the exact all-pairs spec on this
+    fixture, and cross-cluster near-identical vectors must NOT dedup
+    (cluster-scoped by design)."""
+    import random
+
+    rnd = random.Random(23)
+    cents = [
+        [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+    ]
+
+    def near(c, eps):
+        return [v + rnd.uniform(-eps, eps) for v in c]
+
+    rows = []
+    # cluster 0: a transitive chain 0~1~2 of near-dups + one loner
+    rows += [(0, near(cents[0], 0.001)), (1, near(cents[0], 0.001)),
+             (2, near(cents[0], 0.001)),
+             (3, [0.9, 0.4, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    # cluster 1: one dup pair
+    rows += [(4, near(cents[1], 0.001)), (5, near(cents[1], 0.001))]
+    # cluster 2: singletons only
+    rows += [(6, near(cents[2], 0.3)), (7, near(cents[2], 0.3))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = dedup.semantic_dedup(
+        emb, threshold=0.999, centroids=cents, exact=True
+    )
+    survivors = {r["vec_id"]: r["list_id"] for r in out.collect()}
+    assert set(survivors) == {0, 3, 4, 6, 7}
+    assert survivors[0] == 0 and survivors[4] == 1 and survivors[6] == 2
+
+    lsh = dedup.semantic_dedup(
+        emb, threshold=0.999, centroids=cents, exact=False,
+        planes=12, bands=6,
+    )
+    assert {r["vec_id"] for r in lsh.collect()} == set(survivors)
+
+    # pairs stage: nothing pairs across clusters even at high cosine
+    cross = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+         (11, [0.71, 0.7071, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    from data_contract_engine_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(cross, [[1.0, 0, 0, 0, 0, 0, 0, 0],
+                                  [0.7, 0.72, 0, 0, 0, 0, 0, 0]])
+    got = {r["vec_id"]: r["list_id"] for r in assigned.collect()}
+    assert got[10] != got[11]
+    pairs = dedup.semantic_dedup_pairs(assigned, threshold=0.5, exact=True)
+    assert pairs.count() == 0
+
+    # plan sanity: no cartesian product anywhere in the LSH pair stage
+    plan = (
+        dedup.semantic_dedup_pairs(
+            ivf_assign(emb, cents), threshold=0.999, planes=12, bands=6
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
