@@ -131,13 +131,25 @@ def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
         Window.unboundedPreceding, Window.currentRow
     )
     cum = j.select(
+        "c", "b",
         (F.sum("c").over(worder) / F.sum("c").over(wall)).alias("fc"),
         (F.sum("b").over(worder) / F.sum("b").over(wall)).alias("fb"),
     )
     row = cum.agg(
-        F.max(F.abs(F.col("fc") - F.col("fb"))).alias("ks")
+        F.max(F.abs(F.col("fc") - F.col("fb"))).alias("ks"),
+        F.sum("c").alias("tc"),
+        F.sum("b").alias("tb"),
     ).collect()[0]
-    return float(row["ks"]) if row["ks"] is not None else 0.0
+    # an empty side has no CDF: the division yields NULL, and silently
+    # coercing that to 0.0 would read "no drift" for a side with no data
+    # (round-3 advice). Fail loudly instead.
+    if not row["tc"] or not row["tb"]:
+        raise ValueError(
+            "ks_from_histograms: KS is undefined when a histogram side "
+            f"has zero total count (current={row['tc'] or 0}, "
+            f"baseline={row['tb'] or 0})"
+        )
+    return float(row["ks"])
 
 
 def ks_drift(

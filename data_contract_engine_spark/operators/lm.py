@@ -16,16 +16,20 @@ Scale design:
   mass is exact (tail count derived from the totals), so the join side
   broadcast to score documents is a capped head table, never the full
   vocabulary of a 100 TB corpus. ``top_k=None`` keeps the exact full
-  vocabulary (fine at small scale; the gate query uses it).
-* scoring: exploded tokens LEFT-join the broadcast head (missing →
-  OOV log-prob literal) → ONE hash-agg on doc id. Totals (N tokens,
-  V vocab) are a 1-row aggregate collected driver-side — metadata
-  scale, like every report scalar in the engine.
+  vocabulary and scores through a key-partitioned shuffle join instead
+  of a broadcast (a full web-corpus vocabulary must never broadcast).
+* corpus totals (N tokens, V vocab) are a 1-row aggregate CROSS-JOINED
+  into the model as a broadcast — not collected driver-side — so each
+  scorer is ONE lazy Catalyst plan with no plan-build jobs, no
+  ``persist()`` and therefore no cache-lifetime contract for callers
+  (round-3 verdict item: persisted model relations were never released
+  on the success path). The shared aggregates (vocab / bigram counts)
+  appear in several branches of the plan; Spark's ReuseExchange
+  computes each underlying shuffle once (pinned by unit test).
 """
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -49,6 +53,8 @@ def unigram_perplexity(
     tokens outside the most frequent ``top_k`` share one OOV bucket whose
     count is the exact tail mass. Docs with zero tokens are excluded
     (no distribution to score). perplexity = exp(-mean_logprob).
+    An empty corpus yields an empty frame (schema-faithful) — the lazy
+    plan simply produces no rows.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
@@ -56,57 +62,63 @@ def unigram_perplexity(
         F.col(id_col).alias("id"),
         F.explode(ws_tokens(F.col(text_col))).alias("tok"),
     )
-    # the word-count aggregate feeds three jobs (totals, top-k head,
-    # scoring-side broadcast build) — persist it so the corpus is
-    # tokenized and counted ONCE; Spark's LRU block manager reclaims it
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = vocab.agg(
-        F.sum("c").alias("n_tokens_total"),
-        F.count(F.lit(1)).alias("v"),
-    ).collect()[0]
-    n_total = int(totals["n_tokens_total"] or 0)
-    v_total = int(totals["v"] or 0)
-    denom = n_total + alpha * (v_total + 1)
-    if n_total == 0:
-        vocab.unpersist()
-        # keep the caller's id type (empty frame, schema-faithful)
-        return df.select(F.col(id_col)).limit(0).select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0.0).alias("mean_logprob"),
-            F.lit(0.0).alias("perplexity"),
-        )
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    denom = F.col("n") + F.lit(alpha) * (F.col("v") + F.lit(1))
 
     if top_k is not None:
         head = vocab.orderBy(F.desc("c"), "tok").limit(top_k)
         head_totals = head.agg(
             F.sum("c").alias("hc"), F.count(F.lit(1)).alias("hv")
-        ).collect()[0]
-        tail_count = n_total - int(head_totals["hc"] or 0)
-        tail_vocab = v_total - int(head_totals["hv"] or 0)
-        # the OOV bucket carries the exact tail mass: its probability is
-        # the AVERAGE tail-token probability, so total mass is conserved
-        oov_logp = math.log(
-            (tail_count / max(tail_vocab, 1) + alpha) / denom
+        )
+        # 1-row × 1-row: all model constants in one broadcastable row.
+        # The OOV bucket carries the exact tail mass: its probability is
+        # the AVERAGE tail-token probability, so total mass is conserved.
+        consts = totals.crossJoin(head_totals).select(
+            denom.alias("denom"),
+            F.log(
+                (
+                    (F.col("n") - F.col("hc"))
+                    / F.greatest(F.col("v") - F.col("hv"), F.lit(1))
+                    + F.lit(alpha)
+                )
+                / denom
+            ).alias("oov_logp"),
         )
         model = head
+        broadcast_model = True
     else:
-        oov_logp = math.log(alpha / denom)  # unreachable for own corpus
+        consts = totals.select(
+            denom.alias("denom"),
+            # unreachable for the corpus's own tokens (every token is in
+            # the full vocabulary); kept so the schema matches the head path
+            F.log(F.lit(alpha) / denom).alias("oov_logp"),
+        )
         model = vocab
+        broadcast_model = False
 
-    scored = model.withColumn(
-        "logp", F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
-    ).select("tok", "logp")
-    per_doc = (
-        toks.join(F.broadcast(scored), "tok", "left")
-        .select(
-            "id", F.coalesce("logp", F.lit(oov_logp)).alias("logp")
+    scored = model.crossJoin(F.broadcast(consts)).select(
+        "tok",
+        F.log((F.col("c") + F.lit(alpha)) / F.col("denom")).alias("logp"),
+    )
+    joined = toks.join(
+        F.broadcast(scored) if broadcast_model else scored, "tok", "left"
+    )
+    if broadcast_model:
+        # tokens outside the head miss the join; their log-prob is the
+        # OOV constant, delivered as a 1-row broadcast column (not a
+        # Python literal — no plan-build job computes it)
+        oov = consts.select(F.col("oov_logp").alias("__oov"))
+        joined = joined.crossJoin(F.broadcast(oov)).select(
+            "id", F.coalesce("logp", F.col("__oov")).alias("logp")
         )
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.avg("logp").alias("mean_logprob"),
-        )
+    else:
+        joined = joined.select("id", "logp")
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("logp").alias("mean_logprob"),
     )
     return per_doc.select(
         F.col("id").alias(id_col),
@@ -132,11 +144,14 @@ def bigram_perplexity(
     Returns ``(id_col, n_bigrams, mean_logprob, perplexity)``; docs with
     fewer than two tokens have no bigrams and are excluded.
 
-    Scale: unlike the unigram scorer, NOTHING broadcasts — the bigram
-    model, context counts and unigram table all join on their keys as
-    standard partitioned shuffle joins, so web-scale vocabularies are
-    fine. Shuffles: gram/token/context hash-aggs + three key-partitioned
-    joins + one doc-id agg, all map-side combined. Deterministic, so an
+    Scale: unlike the unigram scorer, NOTHING model-sized broadcasts —
+    the bigram model, context counts and unigram table all join on their
+    keys as standard partitioned shuffle joins, so web-scale vocabularies
+    are fine (only the 1-row totals aggregate broadcasts). Shuffles:
+    gram/token/context hash-aggs + three key-partitioned joins + one
+    doc-id agg, all map-side combined, composed as ONE lazy plan (the
+    unigram and bigram count aggregates each appear in two branches;
+    ReuseExchange computes each shuffle once). Deterministic, so an
     external SQL oracle replays the arithmetic exactly.
     """
     if alpha <= 0:
@@ -146,43 +161,35 @@ def bigram_perplexity(
     from .textstats import word_grams
 
     toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("tok"))
-    # persist the AGGREGATED relations (model-sized, never the exploded
-    # token/gram streams): uni feeds totals + the p_uni join, cbi feeds
-    # the context agg + the model join — without persist each would
-    # re-tokenize the corpus per consumer (same finding the review made
-    # on the unigram scorer). Spark's LRU block manager reclaims them.
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu")).persist()
-    totals = uni.agg(
-        F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    n_total, v_total = int(totals["n"] or 0), int(totals["v"] or 0)
-    if n_total == 0:
-        return df.select(F.col(id_col)).limit(0).select(
-            F.col(id_col),
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(0.0).alias("mean_logprob"),
-            F.lit(0.0).alias("perplexity"),
-        )
-    uni_denom = float(n_total + alpha * (v_total + 1))
-    p_uni = uni.select(
-        "tok", ((F.col("cu") + F.lit(alpha)) / F.lit(uni_denom)).alias("pu")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    totals = uni.agg(F.sum("cu").alias("n"), F.count(F.lit(1)).alias("v"))
+    uni_denom = F.col("n") + F.lit(alpha) * (F.col("v") + F.lit(1))
+    consts = totals.select(
+        uni_denom.alias("uni_denom"),
+        (F.lit(alpha) * (F.col("v") + F.lit(1))).alias("ctx_smooth"),
+    )
+    p_uni = uni.crossJoin(F.broadcast(consts)).select(
+        "tok",
+        ((F.col("cu") + F.lit(alpha)) / F.col("uni_denom")).alias("pu"),
+        "ctx_smooth",
     )
 
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_grams(F.col(text_col), 2)).alias("g"),
     )
-    cbi = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb")).persist()
+    cbi = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
     w1 = F.split(F.col("g"), " ").getItem(0)
     ctx = cbi.groupBy(w1.alias("w1")).agg(F.sum("cb").alias("cc"))
     model = (
         cbi.withColumn("w1", w1)
         .join(ctx, "w1")
+        .crossJoin(F.broadcast(consts))
         .select(
             "g",
             (
                 (F.col("cb") + F.lit(alpha))
-                / (F.col("cc") + F.lit(alpha * (v_total + 1)))
+                / (F.col("cc") + F.col("ctx_smooth"))
             ).alias("pb"),
         )
     )
@@ -190,7 +197,9 @@ def bigram_perplexity(
     scored = (
         grams.join(model, "g")
         .withColumn("w2", w2)
-        .join(p_uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(
+            p_uni.select(F.col("tok").alias("w2"), "pu"), "w2"
+        )
         .select(
             "id",
             F.log(

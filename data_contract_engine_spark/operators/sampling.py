@@ -189,7 +189,11 @@ def cap_per_group(
     membership exactly. Rows with a NULL ``key_col`` follow ``on_null``
     ('drop', the default, or 'keep' — ranked LAST, matching SQL
     nulls-last so the oracle replay holds), mirroring
-    :func:`hash_sample`'s explicit policy.
+    :func:`hash_sample`'s explicit policy. Because NULL keys (and
+    duplicate keys) tie on both primary sort keys, a final whole-row
+    xxhash64 tiebreaker keeps the survivor SET deterministic even when
+    the cap cuts through a tied block (round-3 advice; bit-identical
+    rows remain interchangeable, which preserves the output multiset).
 
     Scale: ONE shuffle on the group column for the ranking window.
     Per-task state is the group's row set — a pathologically hot domain
@@ -212,8 +216,9 @@ def cap_per_group(
             "free; rename it in the input"
         )
     h = portable_key_hash(F.col(key_col), seed)
+    row_tiebreak = F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))
     w = Window.partitionBy(group_col).orderBy(
-        h.asc_nulls_last(), F.col(key_col).asc_nulls_last()
+        h.asc_nulls_last(), F.col(key_col).asc_nulls_last(), row_tiebreak
     )
     return (
         df.withColumn("__rank", F.row_number().over(w))

@@ -283,7 +283,31 @@ class SnapshotParquetCatalog(TableCatalog):
             "schema": schema_json,
             "units": list(units),
         }
-        with open(os.path.join(tdir, "snapshots", f"v{new_v}.json"), "w") as f:
+        # O_CREAT|O_EXCL closes the check-then-write race: two writers can
+        # both pass the parent-version check above, but only ONE can
+        # create v{N}.json — the loser raises instead of silently
+        # overwriting the winner's manifest (round-3 advice). An existing
+        # manifest whose version the VERSION pointer never reached is a
+        # TORN leftover from a crashed writer (invisible to all readers);
+        # that slot is reclaimed so a crash cannot brick the table. NOTE:
+        # expire_snapshots must not run concurrently with a writer (it
+        # may GC a unit the in-flight commit references).
+        manifest = os.path.join(tdir, "snapshots", f"v{new_v}.json")
+        fd = None
+        for attempt in range(2):
+            try:
+                fd = os.open(
+                    manifest, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+                break
+            except FileExistsError:
+                if attempt or self._version(table) >= new_v:
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: another writer already "
+                        f"committed version {new_v}"
+                    )
+                os.unlink(manifest)  # torn manifest: VERSION never flipped
+        with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
         tmp = os.path.join(tdir, "VERSION.tmp")
         with open(tmp, "w") as f:
@@ -296,8 +320,45 @@ class SnapshotParquetCatalog(TableCatalog):
         parent = self._version(table)
         prev = self._snapshot(table)
         units = list(prev["units"]) if prev else []
+        schema_json = df.schema.json()
+        if prev is not None:
+            # reads use the MANIFEST schema, so recording the latest
+            # write's schema verbatim would silently hide columns present
+            # only in earlier units (round-3 advice). Iceberg-style
+            # evolution instead: the incoming schema must contain every
+            # manifest field at the same type; NEW fields append to the
+            # manifest schema (earlier units read them as NULL).
+            schema_json = self._evolve_schema(table, prev["schema"], df)
         units.append(self._write_unit(table, df))
-        self._commit(table, parent, units, "append", df.schema.json())
+        self._commit(table, parent, units, "append", schema_json)
+
+    @staticmethod
+    def _evolve_schema(table: str, manifest_schema_json: str, df) -> str:
+        import json
+
+        from pyspark.sql import types as T
+
+        old = T.StructType.fromJson(json.loads(manifest_schema_json))
+        new_fields = {f.name: f for f in df.schema.fields}
+        for f in old.fields:
+            got = new_fields.get(f.name)
+            if got is None:
+                raise SchemaMismatchError(
+                    f"table {table!r}: append is missing column "
+                    f"{f.name!r} present in the table schema; appends "
+                    "must not narrow the schema"
+                )
+            if got.dataType != f.dataType:
+                raise SchemaMismatchError(
+                    f"table {table!r}: append changes column {f.name!r} "
+                    f"type {f.dataType.simpleString()} -> "
+                    f"{got.dataType.simpleString()}"
+                )
+        evolved = list(old.fields) + [
+            f for f in df.schema.fields
+            if f.name not in {g.name for g in old.fields}
+        ]
+        return T.StructType(evolved).json()
 
     def overwrite(self, table: str, df: DataFrame) -> None:
         parent = self._version(table)
@@ -422,6 +483,11 @@ class SnapshotParquetCatalog(TableCatalog):
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency failure: the table version advanced between
     the read of the parent snapshot and the commit attempt."""
+
+
+class SchemaMismatchError(ValueError):
+    """An append's schema narrows or retypes the table schema (Iceberg
+    semantics: appends may ADD columns, never drop or retype them)."""
 
 
 def _parquet_footer_stats(path: str):

@@ -27,6 +27,7 @@ import logging
 from typing import Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 log = logging.getLogger(__name__)
 
@@ -73,16 +74,58 @@ def read_jsonl(
     )
     n_corrupt = 0
     if CORRUPT_COL in df.columns:
-        # cache so the corrupt count and the clean frame share one scan
-        df = df.cache()
-        n_corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).count()
+        # the eager count scans a narrow projection — no whole-input
+        # cache (round-3 finding: the old ``cache()`` here would try to
+        # pin a 100 TB JSONL corpus and never released it). The returned
+        # clean frame is a fresh lazy read; this cold-path file reader
+        # tolerates the second scan — the hot ingest path is the
+        # parquet/Iceberg table. Callers that cannot afford two scans
+        # should attach ``df.observe(...)`` on the corrupt marker and
+        # read the metric after their own action. One real data column
+        # rides the projection because Spark refuses plans whose only
+        # referenced column is the internal corrupt-record column.
+        data_cols = [c for c in df.columns if c != CORRUPT_COL]
+        if data_cols:
+            # the aggregate ALSO counts a real data column: Spark refuses
+            # plans whose only referenced source column is the internal
+            # corrupt-record column, and a merely-projected data column
+            # would be pruned away by Catalyst — counting it keeps it
+            # genuinely referenced (one scan, two counters)
+            n_corrupt = int(
+                df.agg(
+                    F.count(
+                        F.when(F.col(CORRUPT_COL).isNotNull(), 1)
+                    ).alias("nc"),
+                    F.count(F.col(data_cols[0])).alias("__force_parse"),
+                ).collect()[0]["nc"]
+            )
+        else:
+            # every line failed to parse: the inferred schema has ONLY
+            # the corrupt column, which Spark refuses to query — count
+            # non-blank text lines instead (all of them are corrupt)
+            n_corrupt = (
+                spark.read.text(path)
+                .filter(F.trim(F.col("value")) != "")
+                .count()
+            )
         if n_corrupt:
             log.warning("read_jsonl: skipped %d invalid lines in %s",
                         n_corrupt, path)
-        if drop_corrupt:
-            df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        else:
-            df = df.drop(CORRUPT_COL)
+        # the clean frame is a fresh read with the corrupt column pruned
+        # from the schema entirely: filtering the PERMISSIVE frame on the
+        # corrupt marker would re-trip Spark's only-corrupt-column
+        # restriction the moment a caller's query prunes every data
+        # column (e.g. ``count()``). DROPMALFORMED skips invalid lines
+        # natively; with ``drop_corrupt=False`` PERMISSIVE keeps them as
+        # null-field rows (same rows the old ``.drop(CORRUPT_COL)`` kept).
+        clean_schema = StructType(
+            [f for f in df.schema.fields if f.name != CORRUPT_COL]
+        )
+        df = (
+            spark.read.schema(clean_schema)
+            .option("mode", "DROPMALFORMED" if drop_corrupt else "PERMISSIVE")
+            .json(path)
+        )
     return df, n_corrupt
 
 
