@@ -22,6 +22,7 @@ from data_contract_engine_spark.fixtures.transcripts_sql import (
     spark_transcripts_from_events,
 )
 from data_contract_engine_spark.operators import (
+    bpe,
     curation,
     decontaminate as decon,
     dedup,
@@ -336,8 +337,16 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH with the stop-shingle cap ACTIVE (max_shingle_freq=5
+    genuinely drops shingles at sf0.01, where the hottest shingle appears
+    in 7 docs): signatures AND the exact-Jaccard verify both run over the
+    same capped universe, and the oracle replays that capped spec — so a
+    green row pins the round-4 cap semantics, not just the uncapped path
+    (which `dedup_ngram_jaccard` still certifies with the cap opted out)."""
     d = _read(spark, sf_dir, "documents")
-    p = dedup.minhash_near_duplicates(d, k=3, num_hashes=32, bands=8, threshold=0.8)
+    p = dedup.minhash_near_duplicates(
+        d, k=3, num_hashes=32, bands=8, threshold=0.8, max_shingle_freq=5
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1008,40 +1017,296 @@ def q_stream_drift_monitor(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# consolidated gates (round 4)
+#
+# The driver's correctness run covers at most 50 queries; round 3 registered
+# 60, leaving the 10 newest with local-replica evidence only. Near-duplicate
+# gates are therefore UNIONed into single entries (each constituent keeps its
+# own SQL spec — the merged oracle is the union of the already-certified
+# fragments, so nothing loses hash coverage), never-driver-verified gates
+# register FIRST, and the registry stays at 49 entries so every component
+# gets a driver-side row with one slot of headroom.
+# ---------------------------------------------------------------------------
+
+
+def q_media_image_decode(spark, sf_dir):
+    """PNG + GIF + baseline-JPEG real stdlib decodes in ONE gate: the
+    three per-format gates' outputs union with a ``fmt`` discriminator
+    (JPEG is grayscale — its luma sum rides ``sum_r`` with NULL g/b)."""
+    png = q_media_png_decode(spark, sf_dir).select(
+        F.lit("png").alias("fmt"), "media_id", "width", "height",
+        "sum_r", "sum_g", "sum_b",
+    )
+    gif = q_media_gif_decode(spark, sf_dir).select(
+        F.lit("gif").alias("fmt"), "media_id", "width", "height",
+        "sum_r", "sum_g", "sum_b",
+    )
+    jpg = q_media_jpeg_decode(spark, sf_dir).select(
+        F.lit("jpeg").alias("fmt"), "media_id", "width", "height",
+        F.col("sum_luma").alias("sum_r"),
+        F.lit(None).cast("long").alias("sum_g"),
+        F.lit(None).cast("long").alias("sum_b"),
+    )
+    return png.unionByName(gif).unionByName(jpg)
+
+
+def q_media_container_units(spark, sf_dir):
+    """MP4 per-sample + MP3 per-frame byte-range tables in ONE gate,
+    aligned on (container, media_id, unit_idx, unit_bytes, m1..m3, codec):
+    mp4 → (duration_ms, width, height), mp3 → (byte_offset, bitrate_kbps,
+    sample_rate)."""
+    mp4 = q_media_mp4_samples(spark, sf_dir).select(
+        F.lit("mp4").alias("container"), "media_id",
+        F.col("sample_idx").cast("int").alias("unit_idx"),
+        F.col("sample_size").cast("long").alias("unit_bytes"),
+        F.col("duration_ms").cast("long").alias("m1"),
+        F.col("width").cast("long").alias("m2"),
+        F.col("height").cast("long").alias("m3"),
+        "codec",
+    )
+    mp3 = q_media_mp3_frames(spark, sf_dir).select(
+        F.lit("mp3").alias("container"), "media_id",
+        F.col("frame_idx").cast("int").alias("unit_idx"),
+        F.col("frame_bytes").cast("long").alias("unit_bytes"),
+        F.col("byte_offset").cast("long").alias("m1"),
+        F.col("bitrate_kbps").cast("long").alias("m2"),
+        F.col("sample_rate").cast("long").alias("m3"),
+        F.lit("mp3").alias("codec"),
+    )
+    return mp4.unionByName(mp3)
+
+
+def q_media_inventory(spark, sf_dir):
+    """Payload stats + frame sampling in ONE gate (union with a ``part``
+    discriminator; frame rows carry only (media_id, frame_ms))."""
+    stats = q_media_stats(spark, sf_dir).select(
+        F.lit("stats").alias("part"), "media_id", "kind", "payload_bytes",
+        "payload_sha256", "width", "duration_ms",
+        F.lit(None).cast("long").alias("frame_ms"),
+    )
+    frames = q_media_frames(spark, sf_dir).select(
+        F.lit("frame").alias("part"), "media_id",
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("int").alias("payload_bytes"),
+        F.lit(None).cast("string").alias("payload_sha256"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+    )
+    return stats.unionByName(frames)
+
+
+def q_referential_invalid(spark, sf_dir):
+    """tool- and role-vocabulary violations in ONE gate (field, value, n)."""
+    t = q_referential_tool(spark, sf_dir).select(
+        F.lit("tool").alias("field"), F.col("tool").alias("value"), "n"
+    )
+    r = q_referential_role(spark, sf_dir).select(
+        F.lit("role").alias("field"), F.col("role").alias("value"), "n"
+    )
+    return t.unionByName(r)
+
+
+def q_stats_summary(spark, sf_dir):
+    """Mean/stddev + exact percentiles in ONE 1-row gate (1×1 cross join
+    of the two already-certified aggregates)."""
+    return q_stats(spark, sf_dir).crossJoin(q_stats_percentiles(spark, sf_dir))
+
+
+def q_drift_scores_textlen(spark, sf_dir):
+    """PSI/KL + KS of the text-length parity split in ONE 1-row gate."""
+    ks = q_drift_ks(spark, sf_dir).select("ks")
+    return q_drift_psi(spark, sf_dir).crossJoin(ks)
+
+
+def q_dedup_exact_merged(spark, sf_dir):
+    """Exact dedup counts + min-id keep set in ONE gate: each kept row
+    carries the corpus-level (n_docs, n_distinct) constants."""
+    return q_dedup_keep(spark, sf_dir).crossJoin(q_dedup_exact(spark, sf_dir))
+
+
+def q_lang_id_merged(spark, sf_dir):
+    """Stopword- and char-n-gram language-ID confusion matrices in ONE
+    gate (union with a ``method`` discriminator)."""
+    a = q_lang_id(spark, sf_dir).select(
+        F.lit("stopword").alias("method"), "lang", "pred_lang", "n"
+    )
+    b = q_lang_id_ngram(spark, sf_dir).select(
+        F.lit("ngram").alias("method"), "lang", "pred_lang", "n"
+    )
+    return a.unionByName(b)
+
+
+def q_ann_merged(spark, sf_dir):
+    """Exact brute-force, hyperplane-LSH and IVF top-10 in ONE gate
+    (union with a ``method`` discriminator)."""
+    exact = q_knn_cosine(spark, sf_dir).select(
+        F.lit("exact").alias("method"), "vec_id", "sim"
+    )
+    lsh = q_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "sim"
+    )
+    ivf = q_ivf_ann(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "sim"
+    )
+    return exact.unionByName(lsh).unionByName(ivf)
+
+
+def q_sample_merged(spark, sf_dir):
+    """Plain + stratified hash sampling in ONE gate."""
+    h = q_hash_sample(spark, sf_dir).select(
+        F.lit("hash").alias("method"), "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    s = q_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("method"),
+        F.lit(None).cast("long").alias("doc_id"), "lang", "n",
+    )
+    return h.unionByName(s)
+
+
+def q_corpus_mixing(spark, sf_dir):
+    """Domain-frequency capping + weighted upsampling in ONE gate (the
+    two data-mixing operators)."""
+    cap = q_cap_per_source(spark, sf_dir).select(
+        F.lit("cap").alias("method"), "doc_id", "source",
+        F.lit(None).cast("int").alias("copy_idx"),
+    )
+    up = q_upsample_docs(spark, sf_dir).select(
+        F.lit("upsample").alias("method"), "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        F.col("copy_idx").cast("int").alias("copy_idx"),
+    )
+    return cap.unionByName(up)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end under the oracle gate:
+    the embedding table is augmented with jittered near-dup twins (same
+    construction as the embedding near-dup gate), coarse-clustered onto
+    the DETERMINISTIC first-8-vector centroids (`ivf_assign` argmax, the
+    SQL-replayable quantizer — the learned-KMeans quantizer stays the
+    production path), then within-cluster exact pairs at cosine ≥ 0.95
+    collapse into components and only the min-id representative of each
+    survives. The oracle replays assignment, pairs, a recursive-CTE
+    component closure and the survivor anti-join exactly."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    offset = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    twin = e.select(
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse(F.col("embedding")),
+            lambda a, b: a + F.lit(0.05) * b,
+        ).alias("embedding"),
+    )
+    aug = e.unionByName(twin)
+    cent = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter("vec_id < 8").orderBy("vec_id").collect()
+    ]
+    out = dedup.semantic_dedup(
+        aug, threshold=0.95, centroids=cent, exact=True
+    )
+    return out.select("vec_id", F.col("list_id").cast("int").alias("list_id"))
+
+
+# Pinned BPE training fixture: merges are learned once, driver-side, from
+# this literal text by the same pure function the oracle builder calls —
+# so the Spark gate and the DuckDB replay share one deterministic merges
+# table (the real-world shape: a tokenizer is trained once, then applied
+# to any corpus).
+_BPE_FIXTURE_TEXT = (
+    "the quick brown fox jumps over the lazy dog. "
+    "the lazy dog sleeps while the quick brown fox runs away. "
+    "pack my box with five dozen liquor jugs, said the clever fox. "
+    "don't count 12345 chickens before they hatch, the dog said. "
+) * 2
+
+_BPE_NUM_MERGES = 48
+
+
+def _bpe_merges():
+    global _BPE_MERGES_CACHE
+    try:
+        return _BPE_MERGES_CACHE
+    except NameError:
+        pass
+    from collections import Counter
+
+    wc = Counter(
+        w for w in bpe.pretokenize(_BPE_FIXTURE_TEXT) if w.strip()
+    )
+    _BPE_MERGES_CACHE = bpe.learn_merges(dict(wc), _BPE_NUM_MERGES)
+    return _BPE_MERGES_CACHE
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Real GPT-2-style BPE encoding under the oracle gate: every doc is
+    encoded with the pinned fixture merges via the Arrow-batched
+    `bpe_encode` (ranks broadcast, per-batch word cache) and certified by
+    (n_tokens, md5-of-token-stream). The oracle replays the pre-tokenizer
+    (RE2 has no lookahead, so `\\s+(?!\\S)` is emulated by inserting a
+    sentinel before the last whitespace char of any run preceding
+    non-whitespace) and the greedy merge loop (for merges tables this
+    trainer emits, greedy lowest-rank-first equals applying the merges in
+    rank order as leftmost-first replace-all passes over a
+    delimiter-flanked symbol string)."""
+    d = _read(spark, sf_dir, "documents")
+    enc = bpe.bpe_encode(d, _bpe_merges(), "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1e", "tokens").cast("binary")).alias(
+            "tokens_md5"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """49 gates, never-driver-verified + new entries FIRST (the driver
+    covers at most 50 registered queries per round)."""
     return {
+        # -- round-3 gates with local-replica evidence only, plus new ----
+        "media_image_decode": q_media_image_decode,
+        "media_container_units": q_media_container_units,
+        "media_features_pandas": q_media_features,
+        "stream_windowed_verdicts": q_stream_windowed_verdicts,
+        "stream_dedup_state": q_stream_dedup_state,
+        "stream_microbatch_engine": q_stream_microbatch_engine,
+        "stream_drift_monitor": q_stream_drift_monitor,
+        "dedup_semantic": q_dedup_semantic,
+        "bpe_tokens": q_bpe_tokens,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,  # capped spec is new in r4
+        # -- previously driver-verified ----------------------------------
         "flagship_violation_counts": q_violation_counts,
         "flagship_violation_rows": q_violation_rows,
         "flagship_partition_verdicts": q_partition_verdicts,
         "uniqueness_duplicates": q_uniqueness,
-        "referential_tool_invalid": q_referential_tool,
-        "referential_role_invalid": q_referential_role,
+        "referential_invalid": q_referential_invalid,
         "completeness_null_pct": q_completeness,
-        "stats_turn_idx": q_stats,
-        "stats_percentiles": q_stats_percentiles,
+        "stats_summary": q_stats_summary,
         "freshness_bounds": q_freshness,
         "drift_histogram_textlen": q_drift_histogram,
-        "drift_psi_textlen": q_drift_psi,
+        "drift_scores_textlen": q_drift_scores_textlen,
         "drift_psi_categorical": q_drift_psi_categorical,
-        "drift_ks_textlen": q_drift_ks,
         "chunk_documents": q_chunk_documents,
         "daily_rollup": q_daily_rollup,
         "tpch_pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "latest_order_per_customer": q_latest_order_per_customer,
-        "dedup_exact": q_dedup_exact,
+        "dedup_exact": q_dedup_exact_merged,
         "dedup_ngram_jaccard": q_dedup_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding,
-        "knn_cosine_top10": q_knn_cosine,
-        "ann_lsh_top10": q_ann_lsh,
-        "ivf_ann_top10": q_ivf_ann,
-        "dedup_exact_keep": q_dedup_keep,
+        "ann_top10": q_ann_merged,
         "conv_text_checksum": q_conv_text_checksum,
         "text_quality_features": q_text_quality,
-        "lang_id_confusion": q_lang_id,
-        "lang_id_ngram_confusion": q_lang_id_ngram,
+        "lang_id_confusion": q_lang_id_merged,
         "token_stats_by_source": q_token_stats,
         "doc_fingerprints": q_fingerprints,
         "repetition_features": q_repetition,
@@ -1049,27 +1314,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_perplexity": q_lm_bigram_perplexity,
         "tfidf_top_terms": q_tfidf_terms,
         "pii_redaction": q_pii_redaction,
-        "hash_sample_docs": q_hash_sample,
-        "stratified_sample_by_lang": q_stratified_sample,
+        "sample_docs": q_sample_merged,
         "pack_sequences_docs": q_pack_sequences,
         "decontaminate_docs": q_decontaminate,
         "corpus_shuffle_docs": q_corpus_shuffle,
-        "cap_per_source": q_cap_per_source,
-        "upsample_docs": q_upsample_docs,
+        "corpus_mixing": q_corpus_mixing,
         "corpus_curation": q_curate_corpus,
         "dedup_clusters": q_dup_clusters,
-        "media_payload_stats": q_media_stats,
-        "media_frame_sample": q_media_frames,
-        "media_features_pandas": q_media_features,
-        "media_png_decode": q_media_png_decode,
-        "media_gif_decode": q_media_gif_decode,
-        "media_jpeg_decode": q_media_jpeg_decode,
-        "media_mp4_samples": q_media_mp4_samples,
-        "media_mp3_frames": q_media_mp3_frames,
-        "stream_windowed_verdicts": q_stream_windowed_verdicts,
-        "stream_dedup_state": q_stream_dedup_state,
-        "stream_microbatch_engine": q_stream_microbatch_engine,
-        "stream_drift_monitor": q_stream_drift_monitor,
+        "media_inventory": q_media_inventory,
     }
 
 
@@ -1535,7 +1787,11 @@ FROM counts
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_parts() -> dict[str, str]:
+    """Per-component oracle SQL fragments (the round-3 registry): the
+    public :func:`oracle_sql` composes these into the consolidated
+    49-gate registry — every fragment still runs verbatim inside its
+    merged gate, so the certified specs are unchanged."""
     hist_case = "CASE "
     for i, e in enumerate(TEXTLEN_EDGES):
         hist_case += f"WHEN length(text) <= {e} THEN {i} "
@@ -2198,3 +2454,268 @@ SELECT doc_id AS media_id, unnest(range(0, length(text) * 40, 1000))::BIGINT
 FROM documents WHERE doc_id % 3 = 2
 """,
     }
+
+
+# Capped-universe MinHash spec (round 4): shingle frequency is computed
+# once, over-cap shingles drop BEFORE both the signature and verify
+# stages, and sizes/intersections use the same retained universe — the
+# exact replay of `minhash_near_duplicates(max_shingle_freq=5)`.
+_MINHASH_CAPPED_SQL = (
+    "WITH "
+    + _SHINGLES
+    + """
+, freq AS (SELECT shingle, count(*) AS f FROM shingles GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingles s JOIN freq f ON f.shingle = s.shingle
+  WHERE f.f <= 5
+),
+ksz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN ksz sa ON sa.doc_id = id_a
+JOIN ksz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+"""
+)
+
+
+def _semantic_dedup_oracle() -> str:
+    """Replay of the SemDeDup gate: twin augmentation (shared with the
+    embedding near-dup oracle), first-8-centroid argmax assignment
+    (shared with the IVF oracle), within-cluster exact pairs at ≥0.95,
+    recursive-CTE component closure, min-id survivors."""
+    cve = _COSINE.format(a="a.v", b="c.cv")
+    cab = _COSINE.format(a="a.v", b="b.v")
+    return f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+         list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::DOUBLE
+                + 0.05::DOUBLE * embedding[len(embedding) - i + 1]::DOUBLE)
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < 8
+),
+scores AS (
+  SELECT a.vec_id, a.v, c.cid, {cve} AS s
+  FROM aug a CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, v, cid AS list_id FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid) AS rn
+    FROM scores
+  ) t WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE {cab} >= 0.95
+),
+sym AS (
+  SELECT id_a AS u, id_b AS w FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT s.u, r.lbl FROM sym s JOIN reach r ON s.w = r.id
+),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE id <> cluster_id)
+SELECT a.vec_id, a.list_id::INT AS list_id
+FROM assigned a LEFT JOIN dropped d ON d.id = a.vec_id
+WHERE d.id IS NULL
+"""
+
+
+def _bpe_oracle() -> str:
+    """Replay of the BPE gate, fully inside DuckDB's RE2 + list engine.
+
+    Pre-tokenizer: RE2 has no lookahead, so GPT-2's ``\\s+(?!\\S)`` is
+    emulated by inserting a chr(1) sentinel before the LAST whitespace
+    char of every run that precedes non-whitespace; the letter/digit/
+    punct branches then accept an optional leading sentinel and the
+    greedy ``\\s+`` branch naturally stops at it. Sentinels are stripped
+    from the extracted tokens.
+
+    Merge loop: each word becomes a chr(2)-flanked symbol string
+    (``\\x02h\\x02\\x02e\\x02…`` — every symbol carries BOTH flanks, so
+    non-overlapping left-to-right ``replace`` equals the leftmost-first
+    merge pass), and the pinned merges fold over it in rank order via
+    ``list_reduce``. Greedy lowest-rank-first encoding equals this
+    rank-order replace chain for any merges table this trainer emits
+    (each merge's constituents are produced by strictly earlier merges).
+    """
+    merges = _bpe_merges()
+    mlist = ", ".join(
+        "'" + (a + "\x1f" + b).replace("'", "''") + "'" for a, b in merges
+    )
+    # RE2-safe pretokenizer (chr(1) = sentinel); single quotes doubled
+    pattern = (
+        "''s|''t|''re|''ve|''m|''ll|''d"
+        "|\x01? ?[A-Za-z]+|\x01? ?[0-9]+|\x01? ?[^A-Za-z0-9\\s\x01]+|\\s+"
+    )
+    return f"""
+WITH pre AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+         replace(unnest(ws), chr(1), '') AS w
+  FROM (
+    SELECT doc_id,
+           regexp_extract_all(
+             regexp_replace(text, '(\\s)(\\S)', chr(1) || '\\1\\2', 'g'),
+             '{pattern}') AS ws
+    FROM documents)
+),
+enc AS (
+  SELECT doc_id, pos,
+         trim(
+           list_reduce(
+             list_prepend(
+               chr(2) || array_to_string(string_split(w, ''),
+                                         chr(2) || chr(2)) || chr(2),
+               [{mlist}]),
+             (acc, m) -> replace(acc,
+                chr(2) || string_split(m, chr(31))[1] || chr(2) || chr(2)
+                       || string_split(m, chr(31))[2] || chr(2),
+                chr(2) || string_split(m, chr(31))[1]
+                       || string_split(m, chr(31))[2] || chr(2))),
+           chr(2)) AS encd
+  FROM pre
+),
+per_doc AS (
+  SELECT doc_id,
+         string_agg(replace(encd, chr(2) || chr(2), chr(30)),
+                    chr(30) ORDER BY pos) AS toks,
+         sum(len(string_split(encd, chr(2) || chr(2))))::BIGINT AS n_tokens
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       md5(coalesce(p.toks, '')) AS tokens_md5
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    """Consolidated 49-gate oracle registry: merged gates UNION the
+    already-certified per-component fragments from :func:`_oracle_parts`
+    (run verbatim as subqueries), plus the round-4 gates."""
+    p = _oracle_parts()
+
+    def sub(name: str) -> str:
+        return "(\n" + p[name] + "\n)"
+
+    out = {
+        k: v
+        for k, v in p.items()
+        if k
+        not in {
+            # merged below
+            "referential_tool_invalid", "referential_role_invalid",
+            "stats_turn_idx", "stats_percentiles",
+            "drift_psi_textlen", "drift_ks_textlen",
+            "dedup_exact", "dedup_exact_keep",
+            "lang_id_confusion", "lang_id_ngram_confusion",
+            "knn_cosine_top10", "ann_lsh_top10", "ivf_ann_top10",
+            "hash_sample_docs", "stratified_sample_by_lang",
+            "cap_per_source", "upsample_docs",
+            "media_payload_stats", "media_frame_sample",
+            "media_png_decode", "media_gif_decode", "media_jpeg_decode",
+            "media_mp4_samples", "media_mp3_frames",
+            # replaced by the capped spec
+            "dedup_minhash_lsh",
+        }
+    }
+    out["dedup_minhash_lsh"] = _MINHASH_CAPPED_SQL
+    out["dedup_semantic"] = _semantic_dedup_oracle()
+    out["bpe_tokens"] = _bpe_oracle()
+    out["referential_invalid"] = f"""
+SELECT 'tool' AS field, tool AS value, n FROM {sub('referential_tool_invalid')}
+UNION ALL
+SELECT 'role', role, n FROM {sub('referential_role_invalid')}
+"""
+    out["stats_summary"] = (
+        f"SELECT * FROM {sub('stats_turn_idx')} "
+        f"CROSS JOIN {sub('stats_percentiles')}"
+    )
+    out["drift_scores_textlen"] = (
+        f"SELECT a.*, k.ks FROM {sub('drift_psi_textlen')} a "
+        f"CROSS JOIN (SELECT ks FROM {sub('drift_ks_textlen')}) k"
+    )
+    out["dedup_exact"] = (
+        f"SELECT k.doc_id, c.n_docs, c.n_distinct "
+        f"FROM {sub('dedup_exact_keep')} k CROSS JOIN {sub('dedup_exact')} c"
+    )
+    out["lang_id_confusion"] = f"""
+SELECT 'stopword' AS method, lang, pred_lang, n FROM {sub('lang_id_confusion')}
+UNION ALL
+SELECT 'ngram', lang, pred_lang, n FROM {sub('lang_id_ngram_confusion')}
+"""
+    out["ann_top10"] = f"""
+SELECT 'exact' AS method, vec_id, sim FROM {sub('knn_cosine_top10')}
+UNION ALL
+SELECT 'lsh', vec_id, sim FROM {sub('ann_lsh_top10')}
+UNION ALL
+SELECT 'ivf', vec_id, sim FROM {sub('ivf_ann_top10')}
+"""
+    out["sample_docs"] = f"""
+SELECT 'hash' AS method, doc_id, NULL::VARCHAR AS lang, NULL::BIGINT AS n
+FROM {sub('hash_sample_docs')}
+UNION ALL
+SELECT 'stratified', NULL::BIGINT, lang, n
+FROM {sub('stratified_sample_by_lang')}
+"""
+    out["corpus_mixing"] = f"""
+SELECT 'cap' AS method, doc_id, source, NULL::INT AS copy_idx
+FROM {sub('cap_per_source')}
+UNION ALL
+SELECT 'upsample', doc_id, NULL::VARCHAR, copy_idx
+FROM {sub('upsample_docs')}
+"""
+    out["media_inventory"] = f"""
+SELECT 'stats' AS part, media_id, kind, payload_bytes, payload_sha256,
+       width, duration_ms, NULL::BIGINT AS frame_ms
+FROM {sub('media_payload_stats')}
+UNION ALL
+SELECT 'frame', media_id, NULL::VARCHAR, NULL::INT, NULL::VARCHAR,
+       NULL::INT, NULL::INT, frame_ms
+FROM {sub('media_frame_sample')}
+"""
+    out["media_image_decode"] = f"""
+SELECT 'png' AS fmt, media_id, width, height, sum_r, sum_g, sum_b
+FROM {sub('media_png_decode')}
+UNION ALL
+SELECT 'gif', media_id, width, height, sum_r, sum_g, sum_b
+FROM {sub('media_gif_decode')}
+UNION ALL
+SELECT 'jpeg', media_id, width, height, sum_luma,
+       NULL::BIGINT, NULL::BIGINT
+FROM {sub('media_jpeg_decode')}
+"""
+    out["media_container_units"] = f"""
+SELECT 'mp4' AS container, media_id, sample_idx AS unit_idx,
+       sample_size::BIGINT AS unit_bytes, duration_ms::BIGINT AS m1,
+       width::BIGINT AS m2, height::BIGINT AS m3, codec
+FROM {sub('media_mp4_samples')}
+UNION ALL
+SELECT 'mp3', media_id, frame_idx, frame_bytes::BIGINT,
+       byte_offset::BIGINT, bitrate_kbps::BIGINT, sample_rate::BIGINT, 'mp3'
+FROM {sub('media_mp3_frames')}
+"""
+    return out

@@ -93,3 +93,184 @@ def curate_corpus(
         n_shards=n_shards,
         seed=seed,
     )
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def funnel_lineage(
+    k: int,
+    min_overlap: int,
+    frac_threshold: Optional[float],
+    quality_threshold: float,
+    sample_rate: float,
+    seed: int,
+    benchmark_fingerprint: str = "",
+) -> str:
+    """Hash of everything that determines a partition's candidate rows —
+    funnel parameters, engine version and (optionally) a caller-supplied
+    benchmark fingerprint. Changing any of them invalidates old
+    checkpoints, exactly like :func:`..checkpoint.lineage_hash` for
+    validation runs."""
+    import hashlib
+
+    from ..checkpoint import ENGINE_VERSION
+
+    payload = "|".join(
+        str(x)
+        for x in (
+            "curate", k, min_overlap, frac_threshold, quality_threshold,
+            sample_rate, seed, ENGINE_VERSION, benchmark_fingerprint,
+        )
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def curate_corpus_resumable(
+    df: DataFrame,
+    benchmark: DataFrame,
+    store,
+    run_id: str,
+    partition_col: str,
+    candidates_out: str,
+    k: int = 8,
+    min_overlap: int = 1,
+    frac_threshold: Optional[float] = None,
+    quality_threshold: float = 0.6,
+    sample_rate: float = 1.0,
+    budget: int = 512,
+    n_shards: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+    benchmark_fingerprint: str = "",
+    all_partitions: Optional[list] = None,
+):
+    """:func:`curate_corpus` with partition-granular checkpoint/resume —
+    at 100 TB a preempted one-shot funnel would replay EVERYTHING; this
+    variant replays only unfinished partitions.
+
+    Phase split (the key design decision):
+
+    * **Phase 1 — per-doc scoring, partition-wise, checkpointed.** All
+      the raw-text cost (benchmark shingle overlap, quality features,
+      token counting) is a pure per-document function, so
+      it runs one input partition at a time: surviving docs' compact
+      candidate rows ``(doc_id, digest, n_tokens)`` are written to
+      ``candidates_out`` partitioned by ``partition_col`` with DYNAMIC
+      partition overwrite (idempotent per partition — a crash between
+      the write and the checkpoint flip just re-overwrites the same
+      partition on resume), then the partition's checkpoint row flips to
+      DONE via :class:`..checkpoint.CheckpointStore` (parquet append
+      here; on a real cluster both writes back onto the snapshot/Iceberg
+      catalog — ``TableCatalog.merge`` keyed by (run_id, partition_key)
+      is the documented seam, pinned idempotent in test_catalog.py).
+    * **Phase 2 — global stages over the compact table.** Exact dedup's
+      min-id-per-digest, the hash sample and the packing window are
+      corpus-GLOBAL (a digest group or pack shard spans input
+      partitions), so they cannot be checkpointed per input partition
+      without changing semantics. They run on every call — over the
+      materialized candidate rows (~40 bytes/doc, not the raw corpus),
+      so re-running phase 2 after a crash costs a scan of the small
+      table, never of the 100 TB input.
+
+    The result is byte-identical to the one-shot :func:`curate_corpus`
+    on the same input, which the kill-and-resume test pins: the
+    decontamination and quality filters are pure functions of the TEXT,
+    hence uniform across a digest group, so hoisting them before the
+    min-id dedup cannot change which groups survive or their min ids —
+    but the hash SAMPLE keys on doc_id, so it must stay AFTER dedup
+    (sampling first would promote a larger-id duplicate whenever the
+    representative sampled out), which is why it lives in phase 2.
+
+    Returns ``(result_df, resumable_stats)`` where ``resumable_stats``
+    mirrors :class:`..checkpoint.ResumableResult` fields
+    (pending_before / skipped counts for observability).
+    """
+    import time as _time
+
+    from .. import checkpoint as ckpt
+
+    spark = df.sparkSession
+    lin = funnel_lineage(
+        k, min_overlap, frac_threshold, quality_threshold, sample_rate,
+        seed, benchmark_fingerprint,
+    )
+    if all_partitions is None:
+        all_partitions = [
+            r[0]
+            for r in df.select(F.col(partition_col).cast("string"))
+            .distinct()
+            .collect()
+        ]
+    done = set(store.done_partitions(run_id, lin))
+    pending = [p for p in all_partitions if p not in done]
+
+    if pending:
+        sub = df.filter(F.col(partition_col).cast("string").isin(pending))
+        kept = decontaminate(
+            sub,
+            benchmark,
+            k=k,
+            id_col=id_col,
+            text_col=text_col,
+            min_overlap=min_overlap,
+            frac_threshold=frac_threshold,
+            broadcast_benchmark=broadcast_benchmark,
+        )
+        kept = kept.filter(
+            textstats.quality_score_col(F.col(text_col))
+            >= F.lit(quality_threshold)
+        )
+        cand = kept.select(
+            F.col(id_col),
+            dedup.content_digest(F.col(text_col)).alias("digest"),
+            textstats.ws_token_count(F.col(text_col)).alias("n_tokens"),
+            F.col(partition_col).cast("string").alias("__part"),
+        )
+        (
+            cand.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__part")
+            .parquet(candidates_out)
+        )
+        # candidate partitions are durable — flip their checkpoints.
+        # (A crash BEFORE this append leaves the partitions pending; the
+        # dynamic overwrite above makes the retry idempotent.)
+        rows = spark.createDataFrame(
+            [
+                (run_id, p, lin, "DONE", None, None, None, None, None,
+                 _time.time())
+                for p in pending
+            ],
+            ckpt.CHECKPOINT_SCHEMA,
+        )
+        store.write_done(rows)
+
+    cand_all = (
+        spark.read.parquet(candidates_out)
+        .filter(F.col("__part").isin(all_partitions))
+        .drop("__part")
+    )
+    # phase 2: global min-id-per-digest dedup, hash sample, then the
+    # packing window — same operators in the same order as the one-shot
+    # funnel's tail (and therefore byte-identical output).
+    keep = cand_all.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    deduped = cand_all.join(
+        keep, [id_col, "digest"], "left_semi"
+    ).select(id_col, "n_tokens")
+    if sample_rate < 1.0:
+        deduped = sampling.hash_sample(deduped, sample_rate, id_col, seed=seed)
+    result = sampling.pack_sequences(
+        deduped,
+        budget=budget,
+        token_col="n_tokens",
+        id_col=id_col,
+        n_shards=n_shards,
+        seed=seed,
+    )
+    return result, ckpt.ResumableResult(
+        run_id, len(pending), len(pending), len(done), None
+    )

@@ -143,3 +143,67 @@ def test_resumable_violations_partitioned_when_partition_col_not_a_key(
     )
     v2 = spark.read.parquet(vout)
     assert {r["conv_id"] for r in v2.collect()} == {"conv_3"}
+
+
+def test_curate_resumable_kill_and_resume(spark, tmp_path):
+    """Kill-and-resume parity: run phase 1 over a SUBSET of partitions
+    (simulating a preemption after some partitions checkpointed), resume
+    over the full input, and the final pack layout must be byte-identical
+    to the one-shot funnel — with the second run validating only the
+    unfinished partitions."""
+    from data_contract_engine_spark.operators import curation
+
+    rows = [
+        (i, f"p{i % 4}",
+         ("the quick brown fox jumps over the lazy dog number %d ok" % i)
+         if i % 5 else "dup dup dup shared text across partitions wow ok")
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, part string, text string")
+    bench = spark.createDataFrame(
+        [(1000, "the benchmark eval question text nothing matches here")],
+        "doc_id long, text string",
+    )
+    store = CheckpointStore(spark, str(tmp_path / "ck_cur"))
+    cand = str(tmp_path / "cand")
+    kw = dict(
+        k=3, frac_threshold=0.5, quality_threshold=0.0, sample_rate=0.5,
+        budget=32, n_shards=4,
+    )
+
+    # "crashed" first attempt: only p0/p1 reached DONE
+    out1, st1 = curation.curate_corpus_resumable(
+        df.filter(F.col("part").isin("p0", "p1")), bench, store, "run1",
+        "part", cand, all_partitions=["p0", "p1"], **kw,
+    )
+    out1.collect()  # materialize phase 1 writes
+    assert st1.pending_before == 2 and st1.skipped == 0
+
+    # resume over the FULL input: only p2/p3 are pending
+    out2, st2 = curation.curate_corpus_resumable(
+        df, bench, store, "run1", "part", cand, **kw
+    )
+    assert st2.skipped == 2 and st2.pending_before == 2
+    resumed = sorted(map(tuple, out2.collect()))
+
+    # third call: nothing pending, pure phase-2 replay
+    out3, st3 = curation.curate_corpus_resumable(
+        df, bench, store, "run1", "part", cand, **kw
+    )
+    assert st3.pending_before == 0 and st3.skipped == 4
+    assert sorted(map(tuple, out3.collect())) == resumed
+
+    oneshot = sorted(
+        map(tuple, curation.curate_corpus(df.drop("part"), bench, **kw)
+            .collect())
+    )
+    assert resumed == oneshot
+    assert len(resumed) > 0
+
+    # changed funnel params ⇒ different lineage ⇒ full re-run
+    store2 = CheckpointStore(spark, str(tmp_path / "ck_cur"))
+    kw2 = dict(kw, quality_threshold=0.9)
+    _, st4 = curation.curate_corpus_resumable(
+        df, bench, store2, "run1", "part", str(tmp_path / "cand2"), **kw2
+    )
+    assert st4.pending_before == 4
