@@ -39,17 +39,30 @@ def timed(fn):
 
 
 def timed2(fn):
-    """(first_sec, steady_sec, out): each query runs twice — the first
-    run carries one-off costs (driver plan analysis, codegen, shuffle
-    file creation), the second is steady-state. Both are reported so a
-    regression is attributable to plan cost vs execution cost (round-2
-    verdict item: one bench, two unexplained numbers per query)."""
+    """(first_sec, steady_sec, out): each query runs THREE times
+    back-to-back — the first run carries one-off costs (driver plan
+    analysis, codegen, shuffle file creation), steady is the MIN of the
+    two repeats. Both series are reported so a regression is attributable
+    to plan cost vs execution cost (round-2 verdict item: one bench, two
+    unexplained numbers per query).
+
+    .. versionchanged:: round 4
+       steady was a single second run; this host shows JIT-warmup storms
+       (an identical repeat occasionally runs 3-10x its converged time
+       with 20s+ of measured JIT compilation — verified by JMX
+       CompilationMXBean deltas, with raw-CPU / disk / GC probes all
+       stable), so a single repeat is not steady-state. Min-of-3
+       back-to-back runs matches the methodology BENCH.md already uses
+       for scaling walls."""
     t0 = time.time()
     fn()
     first = time.time() - t0
     t1 = time.time()
+    fn()
+    r2 = time.time() - t1
+    t2 = time.time()
     out = fn()
-    return first, time.time() - t1, out
+    return first, min(r2, time.time() - t2), out
 
 
 def main():

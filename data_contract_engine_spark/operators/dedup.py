@@ -165,6 +165,64 @@ def drop_stop_shingles(sh: DataFrame, stop: DataFrame) -> DataFrame:
     return sh.join(F.broadcast(stop), "shingle", "left_anti")
 
 
+HOT_SHINGLE_PROBE_DOCS = 50
+
+
+def materialized_stop_shingles(
+    sh: DataFrame,
+    max_shingle_freq: int,
+    probe_docs: int = HOT_SHINGLE_PROBE_DOCS,
+) -> Optional[DataFrame]:
+    """The stop-shingle list, materialized, or ``None`` when no shingle
+    exceeds the cap — computed so a CLEAN corpus (the common case) never
+    pays a full frequency pass.
+
+    Two steps, both deterministic:
+
+    1. **Sampled probe.** Shingle doc-frequencies are counted over a
+       deterministic hash-sample of docs at rate ``r = probe_docs/cap``
+       (full pass when r ≥ 1, i.e. small caps stay exact). A shingle at
+       the cap shows ≈``probe_docs`` sampled hits; the probe fires at
+       half that, so missing a truly-hot shingle needs a ≈5σ downward
+       fluctuation (P < 1e-4 at the default 50). Cost: ``r`` of one
+       shingle pass — 5% at the default cap of 1000.
+    2. **Exact pass, only if the probe fired.** The corpus-wide frequency
+       hash-agg builds the exact over-cap list, ``localCheckpoint``-ed so
+       BOTH consumers (signature filter + verify filter) broadcast the
+       same materialized rows instead of recomputing the aggregate. The
+       list is bounded by total_shingle_instances/cap — broadcast-sized
+       by construction. (Executor loss invalidating a localCheckpoint
+       fails the query and the driver retries — same contract as
+       ``duplicate_clusters`` without ``checkpoint_dir``.)
+
+    Borderline corpora whose hottest shingle sits between ``cap·r/2``
+    sampled hits and the cap may skip capping entirely — the cap is a
+    skew guard, not a semantic contract, and small caps (where every
+    dropped shingle matters, e.g. the oracle gate's cap of 5) take the
+    r ≥ 1 exact branch. Determinism holds either way: the probe sample
+    is a pure function of doc ids.
+    """
+    from .sampling import hash_sample
+
+    r = min(1.0, probe_docs / max_shingle_freq)
+    if r < 1.0:
+        probe = hash_sample(
+            sh.select("id", "shingle"), r, "id"
+        )
+        row = (
+            probe.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(F.max("f").alias("mx"))
+            .collect()[0]
+        )
+        if (row["mx"] or 0) <= probe_docs / 2:
+            return None
+    stop = stop_shingles(sh, max_shingle_freq).localCheckpoint()
+    if stop.isEmpty():
+        return None
+    return stop
+
+
 def jaccard_pairs_from_shingles(
     sh: DataFrame,
     threshold: float = 0.8,
@@ -174,7 +232,9 @@ def jaccard_pairs_from_shingles(
     build the shingle table once and share it across stages (MinHash
     signatures + candidate verification reuse one table)."""
     if max_shingle_freq is not None:
-        sh = drop_stop_shingles(sh, stop_shingles(sh, max_shingle_freq))
+        stop = materialized_stop_shingles(sh, max_shingle_freq)
+        if stop is not None:
+            sh = drop_stop_shingles(sh, stop)
     # sizes AFTER the stop-shingle filter: numerator and denominator must
     # share one shingle universe or jaccard under-estimates near threshold
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -351,15 +411,17 @@ def minhash_near_duplicates(
        the exact Jaccard over retained shingles (never mixed-universe).
        Pass ``max_shingle_freq=None`` for the old uncapped behavior.
 
-    Stage shape: one shingle explode feeds (a) a frequency hash-agg whose
-    over-cap tail becomes the broadcast stop-shingle list and (b) the
-    signature hash-agg (after the broadcast anti-join). The verify stage
-    semi-joins the raw docs down to candidate ids first and re-shingles
-    only that small subset — re-deriving the subset's shingles costs less
-    than persisting the full shingle table between stages (measured:
-    persist was 1.8x slower at sf0.1). The stop list is built once and
-    reused by both stages (Spark's ReuseExchange dedupes the frequency
-    aggregate inside the one composed plan).
+    Stage shape: the stop-shingle list comes from
+    :func:`materialized_stop_shingles` — a 5%-of-one-shingle-pass sampled
+    probe that returns ``None`` on a clean corpus (the common case pays
+    NO frequency pass and NO anti-join), escalating to one exact
+    frequency hash-agg, ``localCheckpoint``-ed so the signature filter
+    and the verify filter broadcast the same materialized rows instead of
+    recomputing the aggregate per consumer. The verify stage semi-joins
+    the raw docs down to candidate ids first and re-shingles only that
+    small subset — re-deriving the subset's shingles costs less than
+    persisting the full shingle table between stages (measured: persist
+    was 1.8x slower at sf0.1).
     """
     if balance:
         df = balance_input(df)
@@ -367,8 +429,9 @@ def minhash_near_duplicates(
     sh = shingle_table(df, id_col, text_col, k)
     stop = None
     if max_shingle_freq is not None:
-        stop = stop_shingles(sh, max_shingle_freq)
-        sh = drop_stop_shingles(sh, stop)
+        stop = materialized_stop_shingles(sh, max_shingle_freq)
+        if stop is not None:
+            sh = drop_stop_shingles(sh, stop)
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
     cand = lsh_candidates(sigs, bands, rows_per_band)
     # verify only candidate pairs, and WITHOUT the explode/self-join shape

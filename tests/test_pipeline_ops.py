@@ -289,6 +289,53 @@ def test_jaccard_stop_shingle_guard_consistent_universe(spark):
     assert full[(0, 1)] == 1.0
 
 
+def test_materialized_stop_shingles_probe(spark):
+    """The sampled probe skips the exact frequency pass on a clean corpus
+    (returns None) and escalates to the exact, materialized over-cap list
+    when a hot shingle exists — deterministically, since the probe sample
+    is a pure function of doc ids."""
+    # clean corpus: 300 distinct docs, cap=200 → probe rate 0.25, no
+    # shingle is shared at all → probe must NOT fire
+    clean = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingle_table(clean, "doc_id", "text", 3)
+    assert dedup.materialized_stop_shingles(sh, 200) is None
+
+    # hot corpus: every one of 300 docs shares one boilerplate shingle;
+    # cap=60 → probe rate 50/60, expected ~250 sampled hits ≫ 25 → fires,
+    # and the exact pass returns exactly that shingle
+    hot = spark.createDataFrame(
+        [(i, f"spark spark spark alpha{i} beta{i}") for i in range(300)],
+        "doc_id long, text string",
+    )
+    hsh = dedup.shingle_table(hot, "doc_id", "text", 3)
+    stop = dedup.materialized_stop_shingles(hsh, 60)
+    assert stop is not None
+    vals = {r["shingle"] for r in stop.collect()}
+    assert "spark spark spark" in vals
+    # every over-cap shingle really is over the cap
+    freqs = {
+        r["shingle"]: r["f"]
+        for r in hsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("f")).collect()
+    }
+    assert all(freqs[v] > 60 for v in vals)
+
+    # borderline-but-under-cap corpus: hottest shingle f=40 < cap=60;
+    # the probe may fire (mean ~33 sampled hits) but the EXACT pass finds
+    # nothing over the cap → still None, never a spurious stop list
+    under = spark.createDataFrame(
+        [
+            (i, ("spark spark spark " if i < 40 else "") + f"a{i} b{i}")
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    ush = dedup.shingle_table(under, "doc_id", "text", 3)
+    assert dedup.materialized_stop_shingles(ush, 60) is None
+
+
 def test_embedding_near_duplicates_banded_lsh(spark):
     """Banded hyperplane LSH finds near-dup embedding pairs without a
     cartesian product, at a non-default dimension (dim derived from data,
