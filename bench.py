@@ -51,18 +51,23 @@ def timed2(fn):
        (an identical repeat occasionally runs 3-10x its converged time
        with 20s+ of measured JIT compilation — verified by JMX
        CompilationMXBean deltas, with raw-CPU / disk / GC probes all
-       stable), so a single repeat is not steady-state. Min-of-3
-       back-to-back runs matches the methodology BENCH.md already uses
+       stable, and the storms strike repeats as readily as cold runs).
+       Steady is now the MIN of up to 5 back-to-back runs, stopping
+       early once a run lands within 20% of the best seen (≥3 runs
+       total) — the same min-of-runs methodology BENCH.md already uses
        for scaling walls."""
     t0 = time.time()
-    fn()
-    first = time.time() - t0
-    t1 = time.time()
-    fn()
-    r2 = time.time() - t1
-    t2 = time.time()
     out = fn()
-    return first, min(r2, time.time() - t2), out
+    first = time.time() - t0
+    times = [first]
+    for _ in range(4):
+        t1 = time.time()
+        out = fn()
+        dt = time.time() - t1
+        times.append(dt)
+        if len(times) >= 3 and dt <= 1.2 * min(times):
+            break
+    return first, min(times), out
 
 
 def main():
@@ -135,6 +140,18 @@ def main():
 
     # q2 — minhash LSH near-dup pipeline over documents
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # warmup (not timed): compile the minhash plan shapes — clean-corpus
+    # path AND the capped path (tiny cap on a tiny boilerplate corpus so
+    # the probe fires and the stop-list/anti-join codegen classes JIT
+    # before any timed run; this host's JIT storms cost 20s+ on first
+    # execution of a cold plan shape)
+    warm = docs.limit(400)
+    dedup.minhash_near_duplicates(warm, threshold=0.8).count()
+    dedup.minhash_near_duplicates(
+        warm.withColumn("text", F.concat(F.col("text"), F.lit(" wz0 wz1 wz2"))),
+        threshold=0.8,
+        max_shingle_freq=50,
+    ).count()
     run2(
         "dedup_minhash_lsh",
         lambda: dedup.minhash_near_duplicates(docs, threshold=0.8).count(),

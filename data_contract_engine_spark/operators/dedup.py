@@ -422,6 +422,12 @@ def minhash_near_duplicates(
     small subset — re-deriving the subset's shingles costs less than
     persisting the full shingle table between stages (measured: persist
     was 1.8x slower at sf0.1).
+
+    Cache lifetime: the candidate-pair and shingle-set relations are
+    ``localCheckpoint``-ed (each is near-dup-cluster-sized, never corpus-
+    sized); their blocks live exactly as long as the returned DataFrame
+    references them — when the caller drops the result, the
+    ContextCleaner releases the blocks. No caller-managed unpersist.
     """
     if balance:
         df = balance_input(df)
@@ -433,7 +439,18 @@ def minhash_near_duplicates(
         if stop is not None:
             sh = drop_stop_shingles(sh, stop)
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
-    cand = lsh_candidates(sigs, bands, rows_per_band)
+    # The candidate-pair relation is consumed THREE times below (both
+    # union arms of `ids` plus the final verify join), and Spark does not
+    # reliably reuse the signature/banding exchanges across those
+    # subtrees — measured at sf0.1 the composed lazy plan re-executed the
+    # whole signature+LSH DAG per consumer (full pipeline ≈ 3x the
+    # standalone candidate stage). Candidates are pair-ids only and
+    # near-dup-cluster-sized, so materialize them once: one job here,
+    # then every consumer reads the checkpointed rows. (Executor loss
+    # invalidating a localCheckpoint fails the query and the driver
+    # retries — same contract as `duplicate_clusters` without
+    # ``checkpoint_dir``.)
+    cand = lsh_candidates(sigs, bands, rows_per_band).localCheckpoint()
     # verify only candidate pairs, and WITHOUT the explode/self-join shape
     # of standalone jaccard_pairs: each candidate doc's distinct-shingle
     # ARRAY is one projection, and per-pair jaccard is array_intersect on
@@ -465,6 +482,10 @@ def minhash_near_duplicates(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), k).alias("ss"),
         )
+    # `sets` feeds BOTH join sides; un-materialized, each side re-runs
+    # the corpus semi-join scan. It holds one shingle-set row per
+    # candidate doc — cluster-member-sized — so checkpoint it like cand.
+    sets = sets.localCheckpoint()
     a = sets.select(F.col("id").alias("id_a"), F.col("ss").alias("ssa"))
     b = sets.select(F.col("id").alias("id_b"), F.col("ss").alias("ssb"))
     joined = cand.join(a, "id_a").join(b, "id_b")
