@@ -159,15 +159,17 @@ def cmd_dedup(args) -> int:
     """Dedup job: exact keep-list or near-dup pair detection over a
     document table — the pipeline operators behind one spark-submit
     surface."""
-    from pyspark.sql import Observation, functions as F
-
     from .operators import dedup as dedup_op
 
     spark = build_session(app_name=f"dce-dedup-{args.method}")
     df = _read_table_or_path(spark, args.input, args.format)
-    # input count rides the write action via observe — no extra scan
-    obs = Observation("dedup_input")
-    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    # Count the input with a plain action, NOT an Observation: the capped
+    # MinHash path (materialized_stop_shingles) runs internal actions
+    # (sampled probe collect + stop-list localCheckpoint) on plans derived
+    # from this frame, and an attached Observation crashes obs.get with a
+    # JVM assertion in PythonSQLUtils.toPyRow. One metadata-cheap count on
+    # the raw scan is the honest price in a CLI job.
+    input_docs = df.count()
     summary = {"method": args.method}
     if args.method == "exact":
         kept = dedup_op.exact_dedup(df, args.text_col, args.id_col)
@@ -196,7 +198,7 @@ def cmd_dedup(args) -> int:
                 spark.read.parquet(args.clusters_out)
                 .select("cluster_id").distinct().count()
             )
-    summary["input_docs"] = obs.get["n"]
+    summary["input_docs"] = input_docs
     print(json.dumps(summary))
     _stop(spark)
     return 0

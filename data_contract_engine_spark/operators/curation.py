@@ -159,7 +159,9 @@ def curate_corpus_resumable(
       token counting) is a pure per-document function, so
       it runs one input partition at a time: surviving docs' compact
       candidate rows ``(doc_id, digest, n_tokens)`` are written to
-      ``candidates_out`` partitioned by ``partition_col`` with DYNAMIC
+      ``candidates_out/run=<run_id>/lineage=<lineage>/`` (namespaced so a
+      new run or changed funnel parameters can never read another run's
+      stale partitions) partitioned by ``partition_col`` with DYNAMIC
       partition overwrite (idempotent per partition — a crash between
       the write and the checkpoint flip just re-overwrites the same
       partition on resume), then the partition's checkpoint row flips to
@@ -189,6 +191,7 @@ def curate_corpus_resumable(
     mirrors :class:`..checkpoint.ResumableResult` fields
     (pending_before / skipped counts for observability).
     """
+    import os as _os
     import time as _time
 
     from .. import checkpoint as ckpt
@@ -197,6 +200,18 @@ def curate_corpus_resumable(
     lin = funnel_lineage(
         k, min_overlap, frac_threshold, quality_threshold, sample_rate,
         seed, benchmark_fingerprint,
+    )
+    # Namespace the candidate table by (run_id, lineage): dynamic
+    # partition overwrite only rewrites partitions that produce ≥1 row,
+    # so sharing one directory across runs or parameter changes would
+    # leave STALE candidate rows in any partition whose new candidate
+    # set is empty (e.g. a tighter quality_threshold drops every doc) —
+    # and phase 2 would silently read them (round-4 advice). A fresh
+    # subdirectory per (run_id, lineage) starts empty, so the dynamic
+    # overwrite's rewrite-only-nonempty semantics can never resurrect
+    # another run's rows.
+    candidates_out = _os.path.join(
+        candidates_out, f"run={run_id}", f"lineage={lin}"
     )
     if all_partitions is None:
         all_partitions = [
@@ -207,6 +222,14 @@ def curate_corpus_resumable(
         ]
     done = set(store.done_partitions(run_id, lin))
     pending = [p for p in all_partitions if p not in done]
+
+    def _cand_projection(frame):
+        return frame.select(
+            F.col(id_col),
+            dedup.content_digest(F.col(text_col)).alias("digest"),
+            textstats.ws_token_count(F.col(text_col)).alias("n_tokens"),
+            F.col(partition_col).cast("string").alias("__part"),
+        )
 
     if pending:
         sub = df.filter(F.col(partition_col).cast("string").isin(pending))
@@ -224,12 +247,7 @@ def curate_corpus_resumable(
             textstats.quality_score_col(F.col(text_col))
             >= F.lit(quality_threshold)
         )
-        cand = kept.select(
-            F.col(id_col),
-            dedup.content_digest(F.col(text_col)).alias("digest"),
-            textstats.ws_token_count(F.col(text_col)).alias("n_tokens"),
-            F.col(partition_col).cast("string").alias("__part"),
-        )
+        cand = _cand_projection(kept)
         (
             cand.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -249,8 +267,13 @@ def curate_corpus_resumable(
         )
         store.write_done(rows)
 
+    # Explicit schema: a run whose every pending partition produced zero
+    # candidates leaves the namespaced directory with no parquet files,
+    # where schema inference would fail. The projection's schema is known
+    # without running anything (plan analysis only).
     cand_all = (
-        spark.read.parquet(candidates_out)
+        spark.read.schema(_cand_projection(df).schema)
+        .parquet(candidates_out)
         .filter(F.col("__part").isin(all_partitions))
         .drop("__part")
     )

@@ -117,6 +117,7 @@ def jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
+    strict_cap: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with shingle-Jaccard ≥ threshold.
 
@@ -141,7 +142,9 @@ def jaccard_pairs(
     :func:`stop_shingle_report` to see what a given cap would drop.
     """
     sh = shingle_table(df, id_col, text_col, k)
-    return jaccard_pairs_from_shingles(sh, threshold, max_shingle_freq)
+    return jaccard_pairs_from_shingles(
+        sh, threshold, max_shingle_freq, strict_cap=strict_cap
+    )
 
 
 def stop_shingles(sh: DataFrame, max_shingle_freq: int) -> DataFrame:
@@ -172,6 +175,7 @@ def materialized_stop_shingles(
     sh: DataFrame,
     max_shingle_freq: int,
     probe_docs: int = HOT_SHINGLE_PROBE_DOCS,
+    strict: bool = False,
 ) -> Optional[DataFrame]:
     """The stop-shingle list, materialized, or ``None`` when no shingle
     exceeds the cap — computed so a CLEAN corpus (the common case) never
@@ -200,12 +204,15 @@ def materialized_stop_shingles(
     skew guard, not a semantic contract, and small caps (where every
     dropped shingle matters, e.g. the oracle gate's cap of 5) take the
     r ≥ 1 exact branch. Determinism holds either way: the probe sample
-    is a pure function of doc ids.
+    is a pure function of doc ids. Callers that DO treat the cap as a
+    semantic contract (the reported jaccard must be the capped-universe
+    value, not "capped unless the probe missed") pass ``strict=True`` to
+    skip the probe and always run the exact corpus-wide frequency pass.
     """
     from .sampling import hash_sample
 
     r = min(1.0, probe_docs / max_shingle_freq)
-    if r < 1.0:
+    if r < 1.0 and not strict:
         probe = hash_sample(
             sh.select("id", "shingle"), r, "id"
         )
@@ -227,12 +234,18 @@ def jaccard_pairs_from_shingles(
     sh: DataFrame,
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
+    strict_cap: bool = False,
 ) -> DataFrame:
     """Jaccard ≥ threshold pairs from an (id, shingle) table — lets callers
     build the shingle table once and share it across stages (MinHash
-    signatures + candidate verification reuse one table)."""
+    signatures + candidate verification reuse one table). ``strict_cap``
+    forwards to :func:`materialized_stop_shingles`: always run the exact
+    frequency pass, for callers that treat the cap as a semantic
+    contract rather than a skew guard."""
     if max_shingle_freq is not None:
-        stop = materialized_stop_shingles(sh, max_shingle_freq)
+        stop = materialized_stop_shingles(
+            sh, max_shingle_freq, strict=strict_cap
+        )
         if stop is not None:
             sh = drop_stop_shingles(sh, stop)
     # sizes AFTER the stop-shingle filter: numerator and denominator must
@@ -393,6 +406,7 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     max_shingle_freq: Optional[int] = DEFAULT_MAX_SHINGLE_FREQ,
     balance: bool = True,
+    strict_cap: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (the scale pipeline):
     returns (id_a, id_b, jaccard) ≥ threshold.
@@ -435,7 +449,9 @@ def minhash_near_duplicates(
     sh = shingle_table(df, id_col, text_col, k)
     stop = None
     if max_shingle_freq is not None:
-        stop = materialized_stop_shingles(sh, max_shingle_freq)
+        stop = materialized_stop_shingles(
+            sh, max_shingle_freq, strict=strict_cap
+        )
         if stop is not None:
             sh = drop_stop_shingles(sh, stop)
     sigs = minhash_signatures_from_shingles(sh, num_hashes)
@@ -718,10 +734,11 @@ def embedding_near_duplicates(
     is verified on candidates only, so every returned pair is exact —
     banding affects recall, never precision.
 
-    ``dim`` is derived from the first row when not given — a plane set of
-    the wrong width would null-pad the dot products and silently send
-    every vector to one bucket (degrading to O(n²)), so the plane width
-    must match the vector width.
+    ``dim`` is required: a plane set of the wrong width would null-pad
+    the dot products and silently send every vector to one bucket
+    (degrading to O(n²)), so the plane width must match the vector
+    width — and Spark schemas carry no fixed array length, so inferring
+    it would cost a driver-side job during plan construction.
 
     Scale shape: one fused projection computes all band ids; the candidate
     join shuffles only (band, bucket) keys; same-bucket groups ≈ near-dup
@@ -730,10 +747,10 @@ def embedding_near_duplicates(
     from .similarity import cosine, hyperplane_band_buckets
 
     if dim is None:
-        # one tiny driver job at plan-build time; pass dim explicitly to
-        # avoid it (e.g. when only capturing the plan, or in tight loops)
-        first = emb_df.select(vec_col).first()
-        dim = len(first[0]) if first and first[0] is not None else 64
+        raise ValueError(
+            "embedding_near_duplicates requires dim= "
+            "(the embedding dimensionality)"
+        )
     with_b = emb_df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
@@ -818,8 +835,14 @@ def semantic_dedup_pairs(
             "list_id",
         ).filter(F.col("cosine") >= threshold)
     if dim is None:
-        first = assigned.select(vec_col).first()
-        dim = len(first[0]) if first and first[0] is not None else 64
+        # Spark schemas carry no fixed array length, and inferring via
+        # .first() would run a driver-side job during plan construction
+        # (non-lazy, one job per call). Require it instead;
+        # semantic_dedup derives it from the centroids for free.
+        raise ValueError(
+            "semantic_dedup_pairs requires dim= for the LSH path "
+            "(pass the embedding dimensionality, or use exact=True)"
+        )
     with_b = vecs.select(
         "id", "list_id",
         F.posexplode(
@@ -889,12 +912,18 @@ def semantic_dedup(
         from .similarity import ivf_assign
 
         assigned = ivf_assign(emb_df, centroids, id_col, vec_col)
+        if dim is None:
+            dim = len(centroids[0])  # free — no driver action
     else:
         from .similarity import ivf_index
 
-        _, assigned = ivf_index(
+        learned, assigned = ivf_index(
             emb_df, id_col, vec_col, n_lists=n_lists, seed=seed
         )
+        if dim is None:
+            # ivf_index already ran a fit (actions happened regardless);
+            # the learned centroids carry the dimensionality.
+            dim = len(learned[0])
     pairs = semantic_dedup_pairs(
         assigned, id_col, vec_col, threshold,
         exact=exact, planes=planes, bands=bands, seed=seed, dim=dim,

@@ -223,6 +223,12 @@ class SnapshotParquetCatalog(TableCatalog):
     swap is config, not code.
     """
 
+    # A same-version manifest younger than this is treated as an in-flight
+    # concurrent commit (raise), not a torn leftover (reclaim): a live
+    # writer flips VERSION milliseconds after creating its manifest, so
+    # only a crash leaves one older than this.
+    TORN_MANIFEST_GRACE_SEC = 60.0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -267,6 +273,7 @@ class SnapshotParquetCatalog(TableCatalog):
                 schema_json: str) -> None:
         import datetime as _dt
         import json
+        import uuid as _uuid
 
         tdir = self._dir(table)
         os.makedirs(os.path.join(tdir, "snapshots"), exist_ok=True)
@@ -275,6 +282,7 @@ class SnapshotParquetCatalog(TableCatalog):
                 f"table {table!r}: version moved past {parent} during commit"
             )
         new_v = parent + 1
+        writer_id = _uuid.uuid4().hex
         snap = {
             "version": new_v,
             "parent": parent or None,
@@ -282,16 +290,27 @@ class SnapshotParquetCatalog(TableCatalog):
             "operation": op,
             "schema": schema_json,
             "units": list(units),
+            "writer": writer_id,
         }
         # O_CREAT|O_EXCL closes the check-then-write race: two writers can
         # both pass the parent-version check above, but only ONE can
         # create v{N}.json — the loser raises instead of silently
         # overwriting the winner's manifest (round-3 advice). An existing
         # manifest whose version the VERSION pointer never reached is a
-        # TORN leftover from a crashed writer (invisible to all readers);
-        # that slot is reclaimed so a crash cannot brick the table. NOTE:
-        # expire_snapshots must not run concurrently with a writer (it
-        # may GC a unit the in-flight commit references).
+        # TORN leftover from a crashed writer (invisible to all readers) —
+        # but it is indistinguishable from an IN-FLIGHT writer that has
+        # created the manifest and not yet flipped VERSION, so reclaiming
+        # on first conflict would let two live writers both "win"
+        # (round-4 advice). Reclamation therefore requires the manifest to
+        # be older than TORN_MANIFEST_GRACE_SEC (a live writer flips
+        # VERSION milliseconds after creating it); a younger conflict is a
+        # concurrent commit and raises. As a backstop for a writer stalled
+        # past the grace window, every commit verifies AFTER the VERSION
+        # flip that the manifest still carries its own writer id and
+        # raises ConcurrentWriteError if the slot was reclaimed — so a
+        # lost update is reported, never silent. NOTE: expire_snapshots
+        # must not run concurrently with a writer (it may GC a unit the
+        # in-flight commit references).
         manifest = os.path.join(tdir, "snapshots", f"v{new_v}.json")
         fd = None
         for attempt in range(2):
@@ -306,6 +325,19 @@ class SnapshotParquetCatalog(TableCatalog):
                         f"table {table!r}: another writer already "
                         f"committed version {new_v}"
                     )
+                try:
+                    import time as _time
+
+                    age = _time.time() - os.path.getmtime(manifest)
+                except FileNotFoundError:
+                    continue  # the other writer's slot just vanished; retry
+                if age < self.TORN_MANIFEST_GRACE_SEC:
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: version {new_v} manifest exists "
+                        f"and is {age:.1f}s old — likely an in-flight "
+                        "concurrent commit; retry, or wait out the torn-"
+                        "manifest grace window if the writer crashed"
+                    )
                 os.unlink(manifest)  # torn manifest: VERSION never flipped
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
@@ -313,6 +345,17 @@ class SnapshotParquetCatalog(TableCatalog):
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, os.path.join(tdir, "VERSION"))  # THE atomic commit
+        try:
+            with open(manifest) as f:
+                committed = json.load(f)
+        except (FileNotFoundError, ValueError):
+            committed = None
+        if not committed or committed.get("writer") != writer_id:
+            raise ConcurrentWriteError(
+                f"table {table!r}: commit of version {new_v} was "
+                "reclaimed by another writer after a stall past the "
+                "torn-manifest grace window; this commit did NOT apply"
+            )
 
     # -- TableCatalog interface -------------------------------------------
 

@@ -187,7 +187,7 @@ def main():
         "it.)\n\n"
         "```\n"
         + trim(plan_of(dedup.embedding_near_duplicates(
-            emb, threshold=0.9, planes=32, bands=4)), 80)
+            emb, threshold=0.9, planes=32, bands=4, dim=64)), 80)
         + "```\n"
     )
 

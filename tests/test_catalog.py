@@ -176,8 +176,16 @@ def test_snapshot_commit_is_atomic(spark, scat, tmp_path):
     got = {r["k"] for r in scat.read("t").collect()}
     assert got == {"a"}  # old snapshot intact; torn v2 invisible
 
-    # and the orphaned v2 state does not block a NEW commit (it is
-    # overwritten by the next real commit at version 2)
+    # while the torn manifest is YOUNG it is indistinguishable from an
+    # in-flight concurrent commit — a new commit must refuse, not reclaim
+    with pytest.raises(ConcurrentWriteError):
+        scat.append("t", spark.createDataFrame([("d", 4)], "k string, v int"))
+
+    # once older than the grace window it is provably torn (a live writer
+    # flips VERSION within milliseconds) and the slot is reclaimed
+    manifest = os.path.join(tdir, "snapshots", "v2.json")
+    past = os.path.getmtime(manifest) - scat.TORN_MANIFEST_GRACE_SEC - 1
+    os.utime(manifest, (past, past))
     scat.append("t", spark.createDataFrame([("d", 4)], "k string, v int"))
     assert {r["k"] for r in scat.read("t").collect()} == {"a", "d"}
 
@@ -252,6 +260,65 @@ def test_snapshot_concurrent_write_detected(spark, scat):
     scat.append("t", df)  # version -> 2
     with pytest.raises(ConcurrentWriteError):
         scat._commit("t", parent, [unit], "append", df.schema.json())
+
+
+def test_snapshot_stalled_writer_does_not_silently_lose_commit(
+    spark, scat, monkeypatch
+):
+    """Round-4 advice race: writer A creates v2.json then stalls past the
+    grace window BEFORE flipping VERSION; writer B reclaims the slot and
+    commits. A's commit must RAISE (post-flip writer-id verify), never
+    report success while its units are gone."""
+    import json
+    import os
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    scat.overwrite("t", df)
+    parent = scat._version("t")
+    unit_a = scat._write_unit(
+        "t", spark.createDataFrame([("A", 2)], "k string, v int")
+    )
+
+    orig_fdopen = os.fdopen
+    state = {}
+
+    def fdopen_then_stall(fd, *a, **k):
+        fh = orig_fdopen(fd, *a, **k)
+        if not state:  # first manifest write = writer A
+            state["armed"] = True
+
+            class _Wrapped:
+                def __enter__(self):
+                    return fh.__enter__()
+
+                def __exit__(self, *exc):
+                    r = fh.__exit__(*exc)
+                    # A "stalls": backdate its manifest past the grace
+                    # window, then B reclaims the slot and commits
+                    man = os.path.join(
+                        scat._dir("t"), "snapshots", "v2.json"
+                    )
+                    past = (os.path.getmtime(man)
+                            - scat.TORN_MANIFEST_GRACE_SEC - 1)
+                    os.utime(man, (past, past))
+                    monkeypatch.undo()
+                    scat.append(
+                        "t",
+                        spark.createDataFrame([("B", 3)],
+                                              "k string, v int"),
+                    )
+                    return r
+
+            return _Wrapped()
+        return fh
+
+    monkeypatch.setattr(os, "fdopen", fdopen_then_stall)
+    with pytest.raises(ConcurrentWriteError, match="reclaimed"):
+        scat._commit("t", parent, [unit_a], "append", df.schema.json())
+    # B's commit stands; A's units are not referenced
+    assert {r["k"] for r in scat.read("t").collect()} == {"a", "B"}
+    with open(os.path.join(scat._dir("t"), "snapshots", "v2.json")) as f:
+        assert json.load(f)["units"][-1]["path"] != unit_a["path"]
 
 
 def test_snapshot_merge_atomic_and_idempotent(spark, scat):

@@ -200,10 +200,21 @@ def test_curate_resumable_kill_and_resume(spark, tmp_path):
     assert resumed == oneshot
     assert len(resumed) > 0
 
-    # changed funnel params ⇒ different lineage ⇒ full re-run
+    # changed funnel params ⇒ different lineage ⇒ full re-run — into the
+    # SAME candidates_out root. The (run_id, lineage) namespacing must
+    # keep run1's candidate partitions invisible: with a quality bar no
+    # doc clears, the result is EMPTY, never stale rows from the old
+    # lineage (round-4 advice: dynamic overwrite only rewrites non-empty
+    # partitions, so an un-namespaced dir would leak them).
     store2 = CheckpointStore(spark, str(tmp_path / "ck_cur"))
-    kw2 = dict(kw, quality_threshold=0.9)
-    _, st4 = curation.curate_corpus_resumable(
-        df, bench, store2, "run1", "part", str(tmp_path / "cand2"), **kw2
+    kw2 = dict(kw, quality_threshold=101.0)
+    out4, st4 = curation.curate_corpus_resumable(
+        df, bench, store2, "run1", "part", cand, **kw2
     )
     assert st4.pending_before == 4
+    assert out4.count() == 0
+    # and a phase-2-only replay of the empty lineage stays empty too
+    out5, st5 = curation.curate_corpus_resumable(
+        df, bench, store2, "run1", "part", cand, **kw2
+    )
+    assert st5.pending_before == 0 and out5.count() == 0

@@ -350,7 +350,7 @@ def test_embedding_near_duplicates_banded_lsh(spark):
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = dedup.embedding_near_duplicates(
-        emb, threshold=0.99, planes=16, bands=8
+        emb, threshold=0.99, planes=16, bands=8, dim=24
     ).collect()
     found = {(r["id_a"], r["id_b"]) for r in out}
     assert (0, 1) in found
@@ -358,7 +358,7 @@ def test_embedding_near_duplicates_banded_lsh(spark):
         assert r["cosine"] >= 0.99  # exact verify: precision is 1.0
     # plan sanity: no cartesian product in the candidate generation
     plan = dedup.embedding_near_duplicates(
-        emb, threshold=0.99, planes=16, bands=8
+        emb, threshold=0.99, planes=16, bands=8, dim=24
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 
@@ -1595,8 +1595,40 @@ def test_semantic_dedup_exact_and_lsh(spark):
     # plan sanity: no cartesian product anywhere in the LSH pair stage
     plan = (
         dedup.semantic_dedup_pairs(
-            ivf_assign(emb, cents), threshold=0.999, planes=12, bands=6
+            ivf_assign(emb, cents), threshold=0.999, planes=12, bands=6,
+            dim=8,
         )
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_plan_construction_is_lazy(spark, monkeypatch):
+    """Building the semantic-dedup plan must run NO driver-side action:
+    dim comes from the centroids, never a .first()/.collect() probe."""
+    import pyspark.sql.dataframe as df_mod
+    import pytest
+
+    from data_contract_engine_spark.operators import dedup
+    from data_contract_engine_spark.operators.similarity import ivf_assign
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    def _boom(self, *a, **k):  # any eager action during plan build = bug
+        raise AssertionError("driver action during plan construction")
+
+    for action in ("first", "collect", "count", "take", "head"):
+        monkeypatch.setattr(df_mod.DataFrame, action, _boom)
+    plan = dedup.semantic_dedup(emb, threshold=0.9, centroids=cents)
+    monkeypatch.undo()
+    assert plan.count() >= 0  # acting on it afterwards still works
+
+    # and the LSH pair stage refuses to guess dim rather than probing
+    with pytest.raises(ValueError, match="dim"):
+        dedup.semantic_dedup_pairs(ivf_assign(emb, cents), threshold=0.9)
+    with pytest.raises(ValueError, match="dim"):
+        dedup.embedding_near_duplicates(emb, threshold=0.9)
