@@ -632,6 +632,34 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_curate_corpus_neardup(spark, sf_dir):
+    """The curation funnel WITH the fuzzy-dedup stage (round-4 advice):
+    decontaminate → exact dedup → quality filter → MinHash+LSH near-dup
+    (exact-Jaccard verified, connected-components min-id keep) → 50%
+    hash sample → pack. The oracle replays the near-dup stage as an
+    exact shingle-Jaccard self-join over the quality survivors plus a
+    recursive-CTE component closure — certifying the COMPOSITION of the
+    already-certified minhash/cluster operators inside the funnel. The
+    default stop-shingle cap (1000) is inert at sf0.01 (hottest shingle
+    ≈ 7 docs), so per-doc signatures equal the uncapped spec the oracle
+    replays."""
+    d = _read(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return curation.curate_corpus(
+        corpus,
+        bench,
+        k=3,
+        frac_threshold=0.1,
+        quality_threshold=0.8,
+        sample_rate=0.5,
+        budget=256,
+        n_shards=8,
+        near_dup="minhash",
+        near_dup_threshold=0.8,
+    )
+
+
 def q_lm_bigram_perplexity(spark, sf_dir):
     """Interpolated bigram-LM perplexity (lam=0.75 chosen so 1−lam is
     binary-exact on both engines): p = 0.75·p_bi(w2|w1) + 0.25·p_uni(w2),
@@ -1296,9 +1324,11 @@ def q_bpe_tokens(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 gates, never-driver-verified + new entries FIRST (the driver
+    """50 gates, never-driver-verified + new entries FIRST (the driver
     covers at most 50 registered queries per round)."""
     return {
+        # -- round-5 gate: the funnel WITH the fuzzy-dedup stage ---------
+        "corpus_curation_neardup": q_curate_corpus_neardup,
         # -- round-3 gates with local-replica evidence only, plus new ----
         "media_image_decode": q_media_image_decode,
         "media_container_units": q_media_container_units,
@@ -2315,6 +2345,99 @@ quality_kept AS (
 ),
 sampled AS (
   SELECT doc_id FROM quality_kept
+  WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
+        % {_HASH_SPACE} < {int(0.5 * _HASH_SPACE)}
+),
+toks2 AS (
+  SELECT d.doc_id,
+         len({_WS_TOKS.format(t='d.text')})::INT AS n_tokens,
+         ('0x' || substr(md5(d.doc_id::VARCHAR || '|42'), 1, 8))::BIGINT AS h
+  FROM documents d JOIN sampled s ON s.doc_id = d.doc_id
+),
+ordered2 AS (
+  SELECT doc_id, n_tokens, (h % 8)::INT AS shard,
+         sum(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS prev_cum
+  FROM toks2
+)
+SELECT doc_id, n_tokens, shard,
+       (prev_cum // 256)::BIGINT AS pack_id,
+       (prev_cum % 256)::BIGINT AS pack_offset
+FROM ordered2
+""",
+        # Funnel + fuzzy dedup: identical to corpus_curation through
+        # quality_kept, then an exact shingle-Jaccard near-dup stage
+        # (pairs ≥ 0.8 over the quality survivors → recursive-CTE
+        # components → drop non-min members) feeds the sample/pack tail.
+        "corpus_curation_neardup": "WITH RECURSIVE "
+        + _SHINGLES
+        + f"""
+, bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+sc AS (
+  SELECT c.doc_id, count(*) AS n_sh, count(b.shingle) AS n_ov
+  FROM (SELECT * FROM shingles WHERE doc_id % 20 <> 0) c
+  LEFT JOIN bench b ON b.shingle = c.shingle
+  GROUP BY c.doc_id
+),
+decon_kept AS (
+  SELECT d.doc_id FROM documents d
+  LEFT JOIN sc ON sc.doc_id = d.doc_id
+  WHERE d.doc_id % 20 <> 0
+    AND NOT (coalesce(sc.n_ov, 0) >= 1
+             AND (CASE WHEN coalesce(sc.n_sh, 0) > 0
+                  THEN round((sc.n_ov * 1.0) / (sc.n_sh), 6)
+                  ELSE 0.0 END) >= 0.1)
+),
+dedup_kept AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN decon_kept k ON k.doc_id = d.doc_id
+  GROUP BY md5(d.text)
+),
+quality_kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN dedup_kept k ON k.doc_id = d.doc_id
+  WHERE {_quality_score_sql('d.text')} >= 0.8
+),
+nd_sh AS (
+  SELECT s.doc_id, s.shingle FROM shingles s
+  JOIN quality_kept q ON q.doc_id = s.doc_id
+),
+nd_sz AS (SELECT doc_id, count(*) AS sz FROM nd_sh GROUP BY doc_id),
+nd_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM nd_sh a JOIN nd_sh b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+nd_pairs AS (
+  SELECT id_a, id_b FROM nd_inter
+  JOIN nd_sz sa ON sa.doc_id = id_a
+  JOIN nd_sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+),
+nd_sym AS (
+  SELECT id_a AS u, id_b AS v FROM nd_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM nd_pairs
+),
+nd_verts AS (SELECT DISTINCT u AS id FROM nd_sym),
+nd_reach(id, lbl) AS (
+  SELECT id, id FROM nd_verts
+  UNION
+  SELECT s.u, r.lbl FROM nd_sym s JOIN nd_reach r ON s.v = r.id
+),
+nd_drop AS (
+  SELECT id AS doc_id FROM (
+    SELECT id, min(lbl) AS lbl FROM nd_reach GROUP BY id
+  ) WHERE id <> lbl
+),
+nd_kept AS (
+  SELECT q.doc_id FROM quality_kept q
+  LEFT JOIN nd_drop x ON x.doc_id = q.doc_id
+  WHERE x.doc_id IS NULL
+),
+sampled AS (
+  SELECT doc_id FROM nd_kept
   WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|42'), 1, 8))::BIGINT
         % {_HASH_SPACE} < {int(0.5 * _HASH_SPACE)}
 ),

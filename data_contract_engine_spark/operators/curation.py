@@ -31,6 +31,78 @@ from . import dedup, sampling, textstats
 from .decontaminate import decontaminate
 
 
+def _near_dup_dropped(
+    kept: DataFrame,
+    near_dup: str,
+    id_col: str,
+    text_col: str,
+    near_dup_threshold: float,
+    minhash_k: int,
+    minhash_num_hashes: int,
+    minhash_bands: int,
+    max_shingle_freq,
+    embeddings: Optional[DataFrame],
+    emb_id_col: str,
+    emb_vec_col: str,
+    centroids,
+    n_lists: int,
+    semantic_exact: bool,
+    seed: int,
+) -> DataFrame:
+    """Non-representative near-dup cluster members of ``kept`` — one
+    column ``id_col``, sized ≈ duplicate count (anti-join fodder).
+
+    ``minhash`` composes :func:`dedup.minhash_near_duplicates` (LSH
+    candidates + exact-Jaccard verify) with
+    :func:`dedup.duplicate_clusters`; ``semantic`` restricts
+    ``embeddings`` to the surviving docs (semi-join — a doc whose
+    near-dup twin was already removed upstream must not lose its
+    representative) and runs :func:`dedup.semantic_dedup`. Docs with no
+    embedding row are never dropped (anti-join against dropped, not
+    semi-join against survivors)."""
+    if near_dup == "minhash":
+        pairs = dedup.minhash_near_duplicates(
+            kept,
+            id_col,
+            text_col,
+            k=minhash_k,
+            num_hashes=minhash_num_hashes,
+            bands=minhash_bands,
+            threshold=near_dup_threshold,
+            max_shingle_freq=max_shingle_freq,
+        )
+        comp = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+        return comp.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    if near_dup == "semantic":
+        if embeddings is None:
+            raise ValueError("near_dup='semantic' requires embeddings=")
+        sub = embeddings.join(
+            kept.select(F.col(id_col).alias(emb_id_col)),
+            emb_id_col,
+            "left_semi",
+        )
+        surv = dedup.semantic_dedup(
+            sub,
+            id_col=emb_id_col,
+            vec_col=emb_vec_col,
+            threshold=near_dup_threshold,
+            centroids=centroids,
+            n_lists=n_lists,
+            seed=seed,
+            exact=semantic_exact,
+        )
+        return sub.select(F.col(emb_id_col).alias(id_col)).join(
+            surv.select(F.col(emb_id_col).alias(id_col)),
+            id_col,
+            "left_anti",
+        )
+    raise ValueError(
+        f"near_dup must be 'minhash', 'semantic' or None, got {near_dup!r}"
+    )
+
+
 def curate_corpus(
     df: DataFrame,
     benchmark: DataFrame,
@@ -45,6 +117,18 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_benchmark: bool = True,
+    near_dup: Optional[str] = None,
+    near_dup_threshold: float = 0.8,
+    minhash_k: int = 3,
+    minhash_num_hashes: int = 32,
+    minhash_bands: int = 8,
+    max_shingle_freq: Optional[int] = dedup.DEFAULT_MAX_SHINGLE_FREQ,
+    embeddings: Optional[DataFrame] = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    centroids=None,
+    n_lists: int = 16,
+    semantic_exact: bool = False,
 ) -> DataFrame:
     """Run the full curation funnel; returns one row per surviving doc::
 
@@ -63,6 +147,19 @@ def curate_corpus(
     filter agrees with the reported feature); ``sample_rate`` < 1.0
     applies :func:`sampling.hash_sample`; ``budget``/``n_shards``/
     ``seed`` → :func:`sampling.pack_sequences`.
+
+    ``near_dup`` adds a fuzzy-dedup stage AFTER the quality filter
+    (RefinedWeb-style filter-then-dedup order — and deliberately NOT
+    between decontamination and quality: quality is uniform across an
+    exact-digest group but not across a near-dup cluster, so running
+    near-dup first would let a low-quality representative drag its
+    whole cluster out of the corpus, and it would break byte-parity
+    with :func:`curate_corpus_resumable`, whose phase split hoists the
+    quality filter into phase 1). ``'minhash'`` composes the certified
+    LSH + exact-verify + connected-components operators over the text;
+    ``'semantic'`` composes SemDeDup over a caller-supplied
+    ``embeddings`` table (``emb_id_col`` must align with ``id_col``
+    values); docs without an embedding row are kept.
     """
     kept = decontaminate(
         df,
@@ -79,6 +176,14 @@ def curate_corpus(
         textstats.quality_score_col(F.col(text_col))
         >= F.lit(quality_threshold)
     )
+    if near_dup is not None:
+        dropped = _near_dup_dropped(
+            kept, near_dup, id_col, text_col, near_dup_threshold,
+            minhash_k, minhash_num_hashes, minhash_bands, max_shingle_freq,
+            embeddings, emb_id_col, emb_vec_col, centroids, n_lists,
+            semantic_exact, seed,
+        )
+        kept = kept.join(dropped, id_col, "left_anti")
     if sample_rate < 1.0:
         kept = sampling.hash_sample(kept, sample_rate, id_col, seed=seed)
     with_tokens = kept.select(
@@ -147,6 +252,14 @@ def curate_corpus_resumable(
     broadcast_benchmark: bool = True,
     benchmark_fingerprint: str = "",
     all_partitions: Optional[list] = None,
+    near_dup: Optional[str] = None,
+    near_dup_threshold: float = 0.8,
+    embeddings: Optional[DataFrame] = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    centroids=None,
+    n_lists: int = 16,
+    semantic_exact: bool = False,
 ):
     """:func:`curate_corpus` with partition-granular checkpoint/resume —
     at 100 TB a preempted one-shot funnel would replay EVERYTHING; this
@@ -176,7 +289,14 @@ def curate_corpus_resumable(
       without changing semantics. They run on every call — over the
       materialized candidate rows (~40 bytes/doc, not the raw corpus),
       so re-running phase 2 after a crash costs a scan of the small
-      table, never of the 100 TB input.
+      table, never of the 100 TB input. ``near_dup='semantic'`` also
+      lives here: SemDeDup joins the candidate ids against the separate
+      ``embeddings`` table, so it never needs the raw text — which is
+      also why ``near_dup='minhash'`` is rejected in the resumable
+      variant (its shingles ARE the raw text; re-deriving them would
+      re-scan the full corpus every resume, defeating the phase split —
+      use the one-shot :func:`curate_corpus` or persist a shingle
+      digest table upstream).
 
     The result is byte-identical to the one-shot :func:`curate_corpus`
     on the same input, which the kill-and-resume test pins: the
@@ -196,6 +316,12 @@ def curate_corpus_resumable(
 
     from .. import checkpoint as ckpt
 
+    if near_dup == "minhash":
+        raise ValueError(
+            "near_dup='minhash' needs the raw text and is not resumable-"
+            "phase-2 compatible; use curate_corpus or run minhash "
+            "upstream"
+        )
     spark = df.sparkSession
     lin = funnel_lineage(
         k, min_overlap, frac_threshold, quality_threshold, sample_rate,
@@ -284,6 +410,14 @@ def curate_corpus_resumable(
     deduped = cand_all.join(
         keep, [id_col, "digest"], "left_semi"
     ).select(id_col, "n_tokens")
+    if near_dup is not None:
+        dropped = _near_dup_dropped(
+            deduped, near_dup, id_col, text_col, near_dup_threshold,
+            3, 32, 8, None,
+            embeddings, emb_id_col, emb_vec_col, centroids, n_lists,
+            semantic_exact, seed,
+        )
+        deduped = deduped.join(dropped, id_col, "left_anti")
     if sample_rate < 1.0:
         deduped = sampling.hash_sample(deduped, sample_rate, id_col, seed=seed)
     result = sampling.pack_sequences(

@@ -673,11 +673,16 @@ def duplicate_clusters(
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+    # checkpoint the edge list BEFORE deriving labels from it: the input
+    # is often an expensive un-materialized pair pipeline (LSH candidates
+    # + verify), and building labels off the raw plan would execute that
+    # whole pipeline a second time (measured ~2× the pair stage on the
+    # semantic-dedup bench before this reorder).
+    sym = _persist_round(sym)
     labels = _persist_round(
         sym.select(F.col("u").alias("id")).distinct()
         .select("id", F.col("id").alias("lbl"))
     )
-    sym = _persist_round(sym)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["v"] == labels["id"])

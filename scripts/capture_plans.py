@@ -229,6 +229,114 @@ def main():
         + "```\n"
     )
 
+    out.append(
+        "## 11. Capped MinHash (round 4) — probe branch + stop-shingle "
+        "aggregate\n\n"
+        "`materialized_stop_shingles` runs BEFORE the plan below exists: "
+        "a 50-doc hash-sampled probe (~5% of one shingle pass) and, only "
+        "if it fires, the exact frequency hash-agg whose over-cap list is "
+        "`localCheckpoint`-ed once. The frequency aggregate itself is the "
+        "first plan (partial_count map-side; output bounded by "
+        "shingles/cap). The second plan is the pipeline's RETURNED verify "
+        "stage: candidates arrive as an `ExistingRDD` scan of the "
+        "checkpointed pair ids (signature/LSH stages already ran — "
+        "re-planning them per consumer measured 3× the candidate stage), "
+        "the candidate docs semi-join back, and exact Jaccard runs on "
+        "array_intersect of two doc-sized shingle arrays — no shingle "
+        "shuffle in verification at all.\n\n"
+        "```\n"
+        + trim(plan_of(dedup.stop_shingles(
+            dedup.shingle_table(docs), 5)), 40)
+        + "```\n\n"
+        "```\n"
+        + trim(plan_of(dedup.minhash_near_duplicates(
+            docs, threshold=0.8, max_shingle_freq=5)), 70)
+        + "```\n"
+    )
+
+    out.append(
+        "## 12. Semantic dedup (SemDeDup) — within-cluster LSH pair "
+        "stage\n\n"
+        "The candidate join keys on (list_id, band, bucket): a bucket "
+        "collision across coarse clusters can never become a candidate, "
+        "so per-key group size ≈ near-dup cluster size. The only "
+        "Exchanges carry (list_id, band, bucket) + ids; exact cosine "
+        "verifies candidates only; no CartesianProduct (pinned by unit "
+        "test too).\n\n"
+        "```\n"
+        + trim(plan_of(dedup.semantic_dedup_pairs(
+            similarity.ivf_assign(
+                emb, [[0.1 * ((i + j) % 7) for j in range(64)]
+                      for i in range(8)]),
+            threshold=0.95, dim=64)), 80)
+        + "```\n"
+    )
+
+    from data_contract_engine_spark.operators import bpe as bpe_op
+
+    merges = bpe_op.learn_merges(
+        {"the": 50, "quick": 20, "brown": 20, "fox": 20, "lazy": 15,
+         "dog": 15, "jumps": 10, "over": 10}, 24,
+    )
+    out.append(
+        "## 13. BPE encode — one Arrow stage, zero shuffles\n\n"
+        "The merge ranks ride ONE SparkContext broadcast (never a join "
+        "relation); encoding is a single `MapInPandas` over the scan — "
+        "the whole plan is scan → Arrow batch → project. Training "
+        "(`train_bpe`, not shown) is ONE word-count hash-agg + a capped "
+        "top-k collect, so driver state is bounded by `max_words` "
+        "regardless of corpus size.\n\n"
+        "```\n"
+        + trim(plan_of(bpe_op.bpe_encode(docs, merges)), 40)
+        + "```\n"
+    )
+
+    import shutil
+    import tempfile as _tf
+
+    from data_contract_engine_spark.checkpoint import CheckpointStore
+
+    ck_root = _tf.mkdtemp(prefix="plans_ck_")
+    store = CheckpointStore(spark, os.path.join(ck_root, "ck"))
+    res_df, _ = curation.curate_corpus_resumable(
+        corpus_docs.withColumn("part", F.pmod(F.col("doc_id"), F.lit(4))),
+        bench_docs, store, "plans_run", "part",
+        os.path.join(ck_root, "cand"),
+        k=3, frac_threshold=0.1, quality_threshold=0.8,
+        sample_rate=0.5, budget=256, n_shards=8,
+    )
+    out.append(
+        "## 14. Resumable curation — phase 2 reads the compact candidate "
+        "table, never the corpus\n\n"
+        "The returned plan's ONLY scan is the ~40 B/doc candidate parquet "
+        "(namespaced by run_id + lineage): digest dedup's min-id agg + "
+        "semi-join, the hash-sample predicate, and the per-shard pack "
+        "window all run over it. The raw-text cost (decontaminate, "
+        "quality, token count) happened once per input partition in "
+        "phase 1 behind the checkpoint — a crash replays only unfinished "
+        "partitions, and re-running phase 2 costs a small-table scan.\n\n"
+        "```\n" + trim(plan_of(res_df), 70) + "```\n"
+    )
+    shutil.rmtree(ck_root, ignore_errors=True)
+
+    out.append(
+        "## 15. Curation funnel with the fuzzy-dedup stage (round 5)\n\n"
+        "`near_dup='minhash'` composes the certified LSH pipeline inside "
+        "the funnel AFTER the quality filter (RefinedWeb order — quality "
+        "is uniform across an exact-digest group but not across a "
+        "near-dup cluster) and drops non-representative cluster members "
+        "with ONE anti-join. The candidate/cluster relations arrive as "
+        "checkpointed `ExistingRDD`s (pair-sized); the corpus side stays "
+        "one lazy plan. Certified end-to-end by the "
+        "`corpus_curation_neardup` oracle row.\n\n"
+        "```\n"
+        + trim(plan_of(curation.curate_corpus(
+            corpus_docs, bench_docs, k=3, frac_threshold=0.1,
+            quality_threshold=0.8, sample_rate=0.5, budget=256,
+            n_shards=8, near_dup="minhash", near_dup_threshold=0.8)), 90)
+        + "```\n"
+    )
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("\n".join(out))

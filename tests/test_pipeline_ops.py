@@ -908,6 +908,95 @@ def test_curate_corpus_funnel(spark):
     ]
 
 
+def test_curate_corpus_near_dup_minhash(spark):
+    from data_contract_engine_spark.operators import curation
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    bench = spark.createDataFrame(
+        [(100, "unrelated benchmark text nothing overlaps at all here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, base),                         # near-dup rep (min id) → kept
+            (1, base + " phi"),                # jaccard 18/21 ≈ 0.857 → dropped
+            (2, "totally different words entirely unrelated to the others "
+                "about sailing ships across the wide open ocean at dawn"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(k=3, frac_threshold=0.1, quality_threshold=0.0,
+              budget=64, n_shards=2)
+    without = {r["doc_id"] for r in
+               curation.curate_corpus(corpus, bench, **kw).collect()}
+    assert without == {0, 1, 2}  # exact dedup alone keeps the near-dup
+    with_nd = {r["doc_id"] for r in curation.curate_corpus(
+        corpus, bench, near_dup="minhash", near_dup_threshold=0.8, **kw
+    ).collect()}
+    assert with_nd == {0, 2}  # min-id representative survives
+
+
+def test_curate_corpus_near_dup_semantic_and_resumable_parity(
+    spark, tmp_path
+):
+    """Semantic near-dup in the one-shot funnel AND byte-parity with the
+    resumable variant's phase-2 placement; docs without an embedding row
+    are never dropped."""
+    from data_contract_engine_spark.checkpoint import CheckpointStore
+    from data_contract_engine_spark.operators import curation
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "p0", "first document with enough normal words to pass "
+                      "quality easily today"),
+            (1, "p0", "second document also with enough normal words to "
+                      "pass quality easily"),
+            (2, "p1", "third document unrelated content about mountains "
+                      "and rivers and valleys"),
+            (3, "p1", "fourth document with no embedding row at all but "
+                      "fine text content"),
+        ],
+        "doc_id long, part string, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "benchmark text that matches nothing in the corpus")],
+        "doc_id long, text string",
+    )
+    # 0 and 1 are semantic near-dups (same cluster, cosine 1.0); 2 is far
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    kw = dict(k=3, frac_threshold=0.5, quality_threshold=0.0,
+              budget=32, n_shards=2)
+    oneshot = curation.curate_corpus(
+        corpus.drop("part"), bench,
+        near_dup="semantic", near_dup_threshold=0.95,
+        embeddings=emb, centroids=cents, semantic_exact=True, **kw,
+    )
+    kept = {r["doc_id"] for r in oneshot.collect()}
+    assert kept == {0, 2, 3}  # 1 collapsed into 0; 3 kept (no embedding)
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    res, _ = curation.curate_corpus_resumable(
+        corpus, bench, store, "r1", "part", str(tmp_path / "cand"),
+        near_dup="semantic", near_dup_threshold=0.95,
+        embeddings=emb, centroids=cents, semantic_exact=True, **kw,
+    )
+    assert (sorted(map(tuple, res.collect()))
+            == sorted(map(tuple, oneshot.collect())))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="minhash"):
+        res2, _ = curation.curate_corpus_resumable(
+            corpus, bench, store, "r2", "part", str(tmp_path / "cand2"),
+            near_dup="minhash", **kw,
+        )
+
+
 def _gif_lzw_compress(indices, min_code=8):
     """A REAL LZW compressor (string table, variable code width) — used
     to prove decode_gif handles general compressed streams, not only the
