@@ -728,8 +728,8 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int = 192,
+    bands: int = 16,
     seed: int = 42,
     dim: Optional[int] = None,
 ) -> DataFrame:
@@ -745,24 +745,35 @@ def embedding_near_duplicates(
     width — and Spark schemas carry no fixed array length, so inferring
     it would cost a driver-side job during plan construction.
 
-    Scale shape: one fused projection computes all band ids; the candidate
-    join shuffles only (band, bucket) keys; same-bucket groups ≈ near-dup
-    cluster size. No cartesian product anywhere.
+    Scale shape: one Arrow-batched projection computes all band ids
+    (fold-exact — bit-identical to the Column-HOF form, see
+    ``similarity.band_buckets_pandas``); the candidate join shuffles
+    only (band, bucket) keys; same-bucket groups ≈ near-dup cluster
+    size. No cartesian product anywhere. Defaults are 8 bands of 8 bits
+    (was 4×4 through round 4): at threshold 0.95 the OR-construction
+    recall is ~0.99 either way ((1-(1-p^8)^8) vs (1-(1-p^4)^4) at
+    p≈0.9), but 2^8 buckets per band make same-bucket groups 16× finer
+    — the round-4 4-bit bands put 1/16th of a dense region in EVERY
+    bucket, and candidate volume (not verification cost) is what goes
+    quadratic on a hot region. Verification is the Arrow fold-exact dot
+    over per-id precomputed norms (norms are per-vector, not per-pair —
+    computing them inside the pair projection redid the fold twice per
+    candidate). Vectors must be non-null.
     """
-    from .similarity import cosine, hyperplane_band_buckets
+    from .similarity import band_buckets_pandas, pair_dot_pandas
 
     if dim is None:
         raise ValueError(
             "embedding_near_duplicates requires dim= "
             "(the embedding dimensionality)"
         )
+    buckets_udf = band_buckets_pandas(
+        planes=planes, bands=bands, seed=seed, dim=dim
+    )
+    dot_udf = pair_dot_pandas(dim)
     with_b = emb_df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(
-            hyperplane_band_buckets(
-                F.col(vec_col), planes=planes, bands=bands, seed=seed, dim=dim
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(buckets_udf(F.col(vec_col))).alias("band", "bucket"),
     )
     a = with_b.select(F.col("id").alias("id_a"), "band", "bucket")
     b = with_b.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -775,18 +786,34 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = emb_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vecs = emb_df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.sqrt(dot_udf(F.col(vec_col), F.col(vec_col))).alias("nrm"),
+    )
     joined = (
         pairs.join(
-            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
             "id_a",
         ).join(
-            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
             "id_b",
         )
     )
     return joined.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        "id_a",
+        "id_b",
+        (
+            dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
 
 
@@ -796,8 +823,8 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     exact: bool = False,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int = 192,
+    bands: int = 16,
     seed: int = 42,
     dim: Optional[int] = None,
 ) -> DataFrame:
@@ -812,7 +839,13 @@ def semantic_dedup_pairs(
     (list_id, band, bucket), so a bucket collision across clusters never
     produces a candidate, and the per-key group size stays ≈ near-dup
     cluster size. Exact cosine verifies every candidate (precision 1.0;
-    banding bounds recall, like every LSH path in this module).
+    banding bounds recall, like every LSH path in this module). Defaults
+    are 8×8-bit bands (same ~0.99 recall at 0.95 as the old 4×4, 16×
+    finer buckets) with Arrow fold-exact verification — see
+    :func:`embedding_near_duplicates` for the candidate-volume math; a
+    hot CLUSTER concentrates everything onto one list_id, so bucket
+    granularity is the only thing standing between that and a quadratic
+    verify.
 
     ``exact=True`` replaces LSH with the within-cluster all-pairs join —
     O(cluster²) per cluster, the literal SemDeDup formulation and the
@@ -821,7 +854,7 @@ def semantic_dedup_pairs(
     pathologically hot cluster makes this quadratic, which is exactly
     what the LSH default avoids.
     """
-    from .similarity import cosine, hyperplane_band_buckets
+    from .similarity import band_buckets_pandas, cosine, pair_dot_pandas
 
     vecs = assigned.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
@@ -848,13 +881,13 @@ def semantic_dedup_pairs(
             "semantic_dedup_pairs requires dim= for the LSH path "
             "(pass the embedding dimensionality, or use exact=True)"
         )
+    buckets_udf = band_buckets_pandas(
+        planes=planes, bands=bands, seed=seed, dim=dim
+    )
+    dot_udf = pair_dot_pandas(dim)
     with_b = vecs.select(
         "id", "list_id",
-        F.posexplode(
-            hyperplane_band_buckets(
-                F.col("v"), planes=planes, bands=bands, seed=seed, dim=dim
-            )
-        ).alias("band", "bucket"),
+        F.posexplode(buckets_udf(F.col("v"))).alias("band", "bucket"),
     )
     a = with_b.select(F.col("id").alias("id_a"), "list_id", "band", "bucket")
     b = with_b.select(F.col("id").alias("id_b"), "list_id", "band", "bucket")
@@ -864,14 +897,30 @@ def semantic_dedup_pairs(
         .select("list_id", "id_a", "id_b")
         .distinct()
     )
+    vecs_n = vecs.select(
+        "id", "v", F.sqrt(dot_udf(F.col("v"), F.col("v"))).alias("nrm")
+    )
     joined = pairs.join(
-        vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        vecs_n.select(
+            F.col("id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        ),
+        "id_a",
     ).join(
-        vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b"
+        vecs_n.select(
+            F.col("id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "id_b",
     )
     return joined.select(
-        "id_a", "id_b",
-        cosine(F.col("va"), F.col("vb")).alias("cosine"),
+        "id_a",
+        "id_b",
+        (
+            dot_udf(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cosine"),
         "list_id",
     ).filter(F.col("cosine") >= threshold)
 
@@ -885,8 +934,8 @@ def semantic_dedup(
     n_lists: int = 16,
     seed: int = 42,
     exact: bool = False,
-    planes: int = 16,
-    bands: int = 4,
+    planes: int = 192,
+    bands: int = 16,
     dim: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
@@ -929,6 +978,14 @@ def semantic_dedup(
             # ivf_index already ran a fit (actions happened regardless);
             # the learned centroids carry the dimensionality.
             dim = len(learned[0])
+    # The assigned relation feeds FOUR consumers (both LSH bucket sides,
+    # the verify vector join, the final survivor anti-join); without a
+    # lineage cut the argmax-cosine assign projection re-executes per
+    # consumer (~4× the assign cost, measured). Lazy localCheckpoint
+    # materializes it once on first use. At 100 TB you would not do
+    # this: list_id is written once as a partition column (see the
+    # docstring), and every stage prunes at the scan instead.
+    assigned = assigned.localCheckpoint(eager=False)
     pairs = semantic_dedup_pairs(
         assigned, id_col, vec_col, threshold,
         exact=exact, planes=planes, bands=bands, seed=seed, dim=dim,

@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -50,6 +52,92 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# --------------------------------------------------------------------------
+# Arrow-vectorized variants with FOLD-EXACT numerics
+#
+# The higher-order-function forms above never enter WholeStageCodegen —
+# Spark evaluates aggregate/zip_with/transform lambdas interpreted, per
+# row (~130 ns per fused multiply-add). On per-ROW projections that is
+# tolerable; on per-PAIR verify relations (LSH candidates — potentially
+# orders of magnitude more rows than the table) the interpretation
+# dominated the stage: the semantic-dedup hot-cluster bench twin spent
+# ~50 s of its 72 s wall in HOF cosine over ~30M candidates. Unrolling
+# the fold into plain Column expressions does NOT fix it: at dim 64 the
+# generated Java exceeds Janino's 64 KB method limit inside the
+# Generate/join consume ("Failed to compile the generated Java code"),
+# Spark falls back to interpreted eval, and a 4096-node interpreted tree
+# is ~3× SLOWER than the HOF loop (measured).
+#
+# So the hot paths use Arrow-batched pandas UDFs — the same standard
+# production shape as this repo's BPE/media operators — with one crucial
+# property: the numpy code VECTORIZES OVER ROWS but FOLDS SEQUENTIALLY
+# OVER DIMENSIONS (``acc = acc + A[:, i] * B[:, i]`` starting from 0.0),
+# so every scalar result is produced by the exact IEEE op sequence of
+# the HOF fold above. No np.dot/matmul (those reassociate/pairwise-sum
+# and drift in the last ulp) — the SQL-oracle replays (DuckDB
+# list_reduce, also a sequential fold) stay hash-identical.
+# --------------------------------------------------------------------------
+
+
+def pair_dot_pandas(dim: int):
+    """Arrow-batched dot product of two array columns, fold-exact (see
+    block comment above). Inputs must be non-null ``dim``-width arrays;
+    returns double. ~64 SIMD ops per Arrow batch instead of ~450
+    interpreted expression nodes per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype("float64", copy=False)
+        B = np.stack(b.to_numpy()).astype("float64", copy=False)
+        acc = np.zeros(len(A), dtype="float64")
+        for i in range(dim):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return _dot
+
+
+def band_buckets_pandas(
+    planes: int, bands: int, seed: int, dim: int
+):
+    """Arrow-batched twin of :func:`hyperplane_band_buckets` — same
+    deterministic LCG planes, same sign-bit packing, fold-exact
+    projections (the accumulator walks dimensions in order, vectorized
+    across rows AND planes), so every band id is bit-identical to the
+    HOF form. Because the per-batch cost is ~``dim`` numpy ops
+    regardless of ``planes``, the plane budget is effectively free here
+    — which is what makes fine (8-12 bit) bands affordable, and fine
+    bands are what keep same-bucket candidate groups small on dense
+    embedding regions."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    assert planes % bands == 0, "planes must divide evenly into bands"
+    per = planes // bands
+    P = np.array(_hyperplanes(dim, planes, seed), dtype="float64").T  # dim×planes
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack(v.to_numpy()).astype("float64", copy=False)
+        acc = np.zeros((len(M), planes), dtype="float64")
+        for i in range(dim):
+            acc = acc + M[:, i : i + 1] * P[i : i + 1, :]
+        bits = acc > 0
+        out = np.zeros((len(M), bands), dtype="int64")
+        for b in range(bands):
+            for j in range(per):
+                out[:, b] += bits[:, b * per + j].astype("int64") << j
+        return pd.Series(list(out))
+
+    return _buckets
 
 
 def cosine_topk(
