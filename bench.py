@@ -38,6 +38,24 @@ def timed(fn):
     return time.time() - t0, out
 
 
+def _spin_probe_ms():
+    """Wall time of a FIXED single-thread Python spin (~100 ms nominal).
+
+    Round-5 attribution instrumentation #2: two back-to-back full bench
+    runs of IDENTICAL code measured 22.3 s vs 8.8 s headline seven
+    minutes apart, with small JIT/GC deltas on the slow steady runs —
+    i.e. the host itself swings ~2.5× in bursts lasting minutes
+    (hypervisor neighbor), which is also the shape of the round-4
+    driver-bench regression. A fixed spin measured immediately before
+    every run stamps the host's speed into the artifact: a slow run
+    with a proportionally slow spin is the HOST, not the engine."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i * i
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def _jvm_counters(spark):
     """(jit_ms, gc_ms) cumulative totals from the driver JVM's JMX beans.
 
@@ -83,7 +101,16 @@ def timed2(fn, spark=None, detail=None):
     times = []
     jits = []
     gcs = []
+    spins = []
     for i in range(5):
+        if spark is not None:
+            # nudge the ContextCleaner: stale localCheckpoint/broadcast
+            # blocks from prior runs are only reclaimed on driver GC,
+            # and a 128 GiB heap may not GC for the whole bench —
+            # measured to stabilize repeat runs of checkpoint-heavy
+            # queries (semantic dedup: 13.1/10.6/8.9 → 8.0/8.0/8.4 s)
+            spark.sparkContext._jvm.System.gc()
+        spins.append(_spin_probe_ms())
         c0 = _jvm_counters(spark) if spark is not None else (0, 0)
         t1 = time.time()
         out = fn()
@@ -100,6 +127,7 @@ def timed2(fn, spark=None, detail=None):
                 "runs_sec": [round(t, 3) for t in times],
                 "jit_ms": jits,
                 "gc_ms": gcs,
+                "spin_ms": spins,
             }
         )
     return times[0], min(times), out
@@ -131,6 +159,44 @@ def main():
         )
         attribution[name] = det[0]
         return out
+
+    def run_pair(name_a, fn_a, name_b, fn_b):
+        """Adversarial-skew twins run INTERLEAVED (a,b,a,b,...): the host
+        shows multi-minute ~2.5× interference bursts (see _spin_probe_ms),
+        and the twins' steady walls feed a RATIO — measured minutes apart
+        a burst lands on one twin only and fabricates (or masks) a skew
+        regression. Interleaving puts both series through the same
+        minutes, so a burst inflates both and the ratio stays honest.
+        Early-stops once BOTH series have a repeat within 20% of their
+        min (≥3 runs each), same rule as timed2."""
+        series = {name_a: [], name_b: []}
+        dets = {
+            name_a: {"runs_sec": [], "jit_ms": [], "gc_ms": [], "spin_ms": []},
+            name_b: {"runs_sec": [], "jit_ms": [], "gc_ms": [], "spin_ms": []},
+        }
+        last = {}
+        for i in range(5):
+            for name, fn in ((name_a, fn_a), (name_b, fn_b)):
+                spark.sparkContext._jvm.System.gc()
+                dets[name]["spin_ms"].append(_spin_probe_ms())
+                c0 = _jvm_counters(spark)
+                t1 = time.time()
+                fn()
+                dt = time.time() - t1
+                c1 = _jvm_counters(spark)
+                series[name].append(dt)
+                dets[name]["runs_sec"].append(round(dt, 3))
+                dets[name]["jit_ms"].append(c1[0] - c0[0])
+                dets[name]["gc_ms"].append(c1[1] - c0[1])
+                last[name] = dt
+            if i >= 2 and all(
+                last[n] <= 1.2 * min(series[n]) for n in series
+            ):
+                break
+        for name in (name_a, name_b):
+            queries_first[name] = series[name][0]
+            queries[name] = min(series[name])
+            attribution[name] = dets[name]
 
     # q1 — full contract suite over transcripts (the authoritative metric).
     # Small-sf parquet arrives as ONE split; repartition the cached input
@@ -204,10 +270,24 @@ def main():
         threshold=0.8,
         max_shingle_freq=50,
     ).count()
-    run2(
+    # adversarial twin (interleaved with the natural corpus — see
+    # run_pair): one shingle shared by ~50% of docs (appended fixed
+    # 3-gram)
+    skew_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+            F.concat(F.col("text"), F.lit(" zq0 zq1 zq2")),
+        ).otherwise(F.col("text")),
+    ).cache()
+    skew_docs.count()
+    run_pair(
         "dedup_minhash_lsh",
         lambda: dedup.minhash_near_duplicates(docs, threshold=0.8).count(),
+        "dedup_minhash_hot_shingle",
+        lambda: dedup.minhash_near_duplicates(skew_docs, threshold=0.8).count(),
     )
+    skew_docs.unpersist()
 
     # q3 — similarity search (exact + LSH) over embeddings
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -268,34 +348,17 @@ def main():
     # salted=False = the ENGINE's default plan (native partial-agg);
     # the explicit-salt variant is opt-in and measured 2x slower, so the
     # skew evidence must certify the plan users actually run
-    run2(
+    run_pair(
         "uniqueness_balanced",
         lambda: uniq_op.duplicate_report(
             tr, ["conv_id", "turn_idx"], salted=False
         ),
-    )
-    run2(
         "uniqueness_hot_key",
         lambda: uniq_op.duplicate_report(
             hot, ["conv_id", "turn_idx"], salted=False
         ),
     )
-
-    # one shingle shared by ~50% of docs (appended fixed 3-gram)
-    skew_docs = docs.withColumn(
-        "text",
-        F.when(
-            F.pmod(F.col("doc_id"), F.lit(2)) == 0,
-            F.concat(F.col("text"), F.lit(" zq0 zq1 zq2")),
-        ).otherwise(F.col("text")),
-    ).cache()
-    skew_docs.count()
-    run2(
-        "dedup_minhash_hot_shingle",
-        lambda: dedup.minhash_near_duplicates(skew_docs, threshold=0.8).count(),
-    )
     hot.unpersist()
-    skew_docs.unpersist()
 
     # q8 — benchmark decontamination over documents (every 20th doc plays
     # the eval suite); rides "queries" but not the headline total
@@ -366,13 +429,11 @@ def main():
     dedup.semantic_dedup(
         big_emb.limit(400), threshold=0.95, centroids=cents16, dim=emb_dim
     ).count()
-    run2(
+    run_pair(
         "dedup_semantic",
         lambda: dedup.semantic_dedup(
             big_emb, threshold=0.95, centroids=cents16, dim=emb_dim
         ).count(),
-    )
-    run2(
         "dedup_semantic_hot_cluster",
         lambda: dedup.semantic_dedup(
             big_emb, threshold=0.95, centroids=cents16[:1], dim=emb_dim
