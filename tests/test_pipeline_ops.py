@@ -363,6 +363,80 @@ def test_embedding_near_duplicates_banded_lsh(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_arrow_vector_math_is_fold_exact(spark):
+    """The Arrow numpy twins (band_buckets_pandas, pair_dot_pandas) must
+    be BIT-IDENTICAL to the Column-HOF fold — the DuckDB oracles replay
+    the sequential list_reduce fold, so any reassociation (np.dot /
+    matmul pairwise summation) would silently break gate hashes. Pinned
+    on random float32 vectors (exact-widening cast path) plus doubles
+    with magnitude spread that makes association order visible."""
+    import random
+
+    from data_contract_engine_spark.operators.similarity import (
+        band_buckets_pandas,
+        cosine,
+        dot,
+        hyperplane_band_buckets,
+        pair_dot_pandas,
+    )
+
+    rnd = random.Random(7)
+    rows32 = [
+        (i, [rnd.uniform(-1, 1) for _ in range(24)]) for i in range(60)
+    ]
+    # magnitude spread: big + tiny terms expose pairwise-summation drift
+    rows64 = [
+        (i, [rnd.uniform(-1, 1) * (10.0 ** rnd.randint(-8, 8))
+             for _ in range(24)])
+        for i in range(60)
+    ]
+    for typ, rows in (("float", rows32), ("double", rows64)):
+        emb = spark.createDataFrame(
+            rows, f"vec_id long, embedding array<{typ}>"
+        )
+        hof = emb.select(
+            "vec_id",
+            hyperplane_band_buckets(
+                F.col("embedding"), planes=12, bands=3, seed=42, dim=24
+            ).alias("bb"),
+        )
+        arrow = emb.select(
+            "vec_id",
+            band_buckets_pandas(planes=12, bands=3, seed=42, dim=24)(
+                F.col("embedding")
+            ).alias("bb"),
+        )
+        assert sorted(map(tuple, hof.collect())) == sorted(
+            map(tuple, arrow.collect())
+        )
+        pairs = emb.alias("a").join(
+            emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id")
+        ).select(
+            F.col("a.embedding").alias("va"), F.col("b.embedding").alias("vb")
+        )
+        hof_cos = [
+            r[0] for r in pairs.select(
+                cosine(F.col("va"), F.col("vb"))
+            ).collect()
+        ]
+        dot_udf = pair_dot_pandas(24)
+        arrow_cos = [
+            r[0] for r in pairs.select(
+                dot_udf(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(dot_udf(F.col("va"), F.col("va")))
+                    * F.sqrt(dot_udf(F.col("vb"), F.col("vb")))
+                )
+            ).collect()
+        ]
+        # bit-identical, not approx: struct.pack equality
+        import struct
+
+        assert [struct.pack("d", x) for x in hof_cos] == [
+            struct.pack("d", x) for x in arrow_cos
+        ]
+
+
 def test_stdlib_media_decoders_end_to_end(spark):
     """The decoder-injection seam with REAL decoders (stdlib BMP + WAV):
     extract_features and resize_images run genuine byte parsing through
