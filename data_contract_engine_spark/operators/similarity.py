@@ -231,6 +231,84 @@ def cosine_topk_multi(
     )
 
 
+def cosine_topk_multi_pandas(
+    emb_df: DataFrame,
+    queries: Sequence,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched multi-query exact top-k, the AT-SCALE shape of
+    :func:`cosine_topk_multi`: ``queries`` is a small driver-side list of
+    ``(q_id, vector)`` pairs (the crossJoin variant broadcasts the same
+    relation — both assume a broadcastable query set).
+
+    Two things make this the 100 TB path: (1) scoring is ONE Arrow
+    stage — every batch scores all queries against all its rows in
+    numpy, fold-exact over dimensions (bit-identical sims to the HOF
+    crossJoin, pinned by test), so no q×n row explosion ever
+    materializes in the plan; (2) each batch emits only its own top-k
+    per query, so the final exact window ranks ≤ k·batches rows instead
+    of q×n (top-k of per-batch top-ks contains the global top-k for any
+    batch boundaries). Output matches :func:`cosine_topk_multi`:
+    (q_id, id, sim, rank)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf  # noqa: F401 (parity import)
+
+    q_ids = [q[0] for q in queries]
+    Q = [[float(x) for x in q[1]] for q in queries]
+    dim = len(Q[0])
+    nq = len(Q)
+    # dim×nq, fold axis first — acc walks dimensions in order
+    QT = [[Q[qi][i] for qi in range(nq)] for i in range(dim)]
+
+    def score(batches):
+        import numpy as np  # noqa: F811 — runs on executors
+        import pandas as pd
+
+        Qm = np.array(QT, dtype="float64")  # dim × nq
+        qn = np.zeros(nq, dtype="float64")
+        for i in range(dim):
+            qn = qn + Qm[i, :] * Qm[i, :]
+        qn = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(
+                "float64", copy=False
+            )
+            acc = np.zeros((len(M), nq), dtype="float64")
+            nrm = np.zeros(len(M), dtype="float64")
+            for i in range(dim):
+                col = M[:, i]
+                acc = acc + col[:, None] * Qm[i : i + 1, :]
+                nrm = nrm + col * col
+            sims = acc / (np.sqrt(nrm)[:, None] * qn[None, :])
+            ids = pdf[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            kk = min(k, len(M))
+            for qi in range(nq):
+                s = sims[:, qi]
+                # top-k by (sim desc, id asc) — same tiebreak as the window
+                order = np.lexsort((ids, -s))[:kk]
+                out_q.extend([q_ids[qi]] * len(order))
+                out_id.extend(ids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame(
+                {"q_id": out_q, id_col: out_id, "sim": out_s}
+            )
+
+    qid_type = "string" if isinstance(q_ids[0], str) else "long"
+    scored = emb_df.select(id_col, vec_col).mapInPandas(
+        score, schema=f"q_id {qid_type}, {id_col} long, sim double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --------------------------------------------------------------------------
 # Random-hyperplane LSH
 # --------------------------------------------------------------------------

@@ -99,6 +99,36 @@ def test_cosine_topk_and_variants(spark):
     assert got == {0: 0, 1: 2}
 
 
+def test_cosine_topk_multi_pandas_matches_crossjoin(spark):
+    """The Arrow batched multi-query scorer (per-batch top-k
+    pre-reduction) returns exactly the crossJoin+window result —
+    bit-identical sims (fold-exact) and identical ranks/tiebreaks —
+    on random vectors at a non-default dim, k larger than some batches."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(12)]) for i in range(200)
+    ]
+    # exact duplicates of vector 0 → sim ties exercise the (sim, id) order
+    rows += [(500, list(rows[0][1])), (501, list(rows[0][1]))]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(8)
+    queries = [(7, rows[0][1]), (8, rows[5][1]), (9, [1.0] * 12)]
+    qdf = spark.createDataFrame(queries, "q_id long, q_vec array<double>")
+    ref = sorted(
+        map(tuple, similarity.cosine_topk_multi(emb, qdf, k=13).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            similarity.cosine_topk_multi_pandas(emb, queries, k=13).collect(),
+        )
+    )
+    assert ref == got  # exact tuple equality: ids, BIT-level sims, ranks
+
+
 def test_ann_lsh_recovers_exact_neighbor(spark):
     import random
 
