@@ -504,25 +504,8 @@ def cosine_topk_pandas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Arrow-batched scorer (mapInPandas + numpy matmul) — the alternative
-    hot path when vectors are wide and the JVM fold dominates; exact same
-    results as :func:`cosine_topk`."""
-    import numpy as np
-    import pandas as pd
-
-    qv = None
-
-    def score(batches):
-        import numpy as np  # noqa: F811 — runs on executors
-
-        q = np.asarray(list(query_vec), dtype="float64")
-        qn = np.linalg.norm(q)
-        for pdf in batches:
-            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype="float64")))
-            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
-            yield pd.DataFrame({id_col: pdf[id_col], "sim": sims})
-
-    scored = emb_df.select(id_col, vec_col).mapInPandas(
-        score, schema=f"{id_col} long, sim double"
-    )
-    return scored.orderBy(F.desc("sim"), F.col(id_col)).limit(k)
+    """Alias of :func:`cosine_topk` since round 5: the default scorer IS
+    the Arrow-batched numpy scan now (fold-exact — the earlier matmul
+    form here differed from the JVM fold in the last ulp, which this
+    module no longer tolerates anywhere). Kept for API compatibility."""
+    return cosine_topk(emb_df, query_vec, k, id_col, vec_col)
