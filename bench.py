@@ -56,6 +56,24 @@ def _spin_probe_ms():
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _cpu_steal_jiffies():
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat.
+
+    The single-thread spin probe can MISS multi-core steal (the
+    scheduler parks the probe on an idle core while the hypervisor
+    steals the rest); the kernel's steal counter cannot. This host had
+    accumulated 4.37M steal jiffies (≈12 core-hours in a 10-hour
+    uptime) when this was added — concentrated in the multi-minute
+    bursts documented in BENCH.md. A slow run with a large steal delta
+    is the hypervisor, conclusively."""
+    try:
+        with open("/proc/stat") as f:
+            vals = f.readline().split()[1:]
+        return int(vals[7]) if len(vals) > 7 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def _jvm_counters(spark):
     """(jit_ms, gc_ms) cumulative totals from the driver JVM's JMX beans.
 
@@ -102,6 +120,7 @@ def timed2(fn, spark=None, detail=None):
     jits = []
     gcs = []
     spins = []
+    steals = []
     for i in range(5):
         if spark is not None:
             # nudge the ContextCleaner: stale localCheckpoint/broadcast
@@ -111,6 +130,7 @@ def timed2(fn, spark=None, detail=None):
             # queries (semantic dedup: 13.1/10.6/8.9 → 8.0/8.0/8.4 s)
             spark.sparkContext._jvm.System.gc()
         spins.append(_spin_probe_ms())
+        s0 = _cpu_steal_jiffies()
         c0 = _jvm_counters(spark) if spark is not None else (0, 0)
         t1 = time.time()
         out = fn()
@@ -119,6 +139,7 @@ def timed2(fn, spark=None, detail=None):
         times.append(dt)
         jits.append(c1[0] - c0[0])
         gcs.append(c1[1] - c0[1])
+        steals.append(_cpu_steal_jiffies() - s0)
         if i >= 2 and dt <= 1.2 * min(times):
             break
     if detail is not None:
@@ -128,6 +149,7 @@ def timed2(fn, spark=None, detail=None):
                 "jit_ms": jits,
                 "gc_ms": gcs,
                 "spin_ms": spins,
+                "steal_j": steals,
             }
         )
     return times[0], min(times), out
@@ -171,14 +193,17 @@ def main():
         min (≥3 runs each), same rule as timed2."""
         series = {name_a: [], name_b: []}
         dets = {
-            name_a: {"runs_sec": [], "jit_ms": [], "gc_ms": [], "spin_ms": []},
-            name_b: {"runs_sec": [], "jit_ms": [], "gc_ms": [], "spin_ms": []},
+            name_a: {"runs_sec": [], "jit_ms": [], "gc_ms": [],
+                     "spin_ms": [], "steal_j": []},
+            name_b: {"runs_sec": [], "jit_ms": [], "gc_ms": [],
+                     "spin_ms": [], "steal_j": []},
         }
         last = {}
         for i in range(5):
             for name, fn in ((name_a, fn_a), (name_b, fn_b)):
                 spark.sparkContext._jvm.System.gc()
                 dets[name]["spin_ms"].append(_spin_probe_ms())
+                s0 = _cpu_steal_jiffies()
                 c0 = _jvm_counters(spark)
                 t1 = time.time()
                 fn()
@@ -188,6 +213,7 @@ def main():
                 dets[name]["runs_sec"].append(round(dt, 3))
                 dets[name]["jit_ms"].append(c1[0] - c0[0])
                 dets[name]["gc_ms"].append(c1[1] - c0[1])
+                dets[name]["steal_j"].append(_cpu_steal_jiffies() - s0)
                 last[name] = dt
             if i >= 2 and all(
                 last[n] <= 1.2 * min(series[n]) for n in series
