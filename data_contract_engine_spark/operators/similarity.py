@@ -299,8 +299,9 @@ def cosine_topk_multi_pandas(
             )
 
     qid_type = "string" if isinstance(q_ids[0], str) else "long"
+    id_type = emb_df.schema[id_col].dataType.simpleString()
     scored = emb_df.select(id_col, vec_col).mapInPandas(
-        score, schema=f"q_id {qid_type}, {id_col} long, sim double"
+        score, schema=f"q_id {qid_type}, {id_col} {id_type}, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     return (
