@@ -71,11 +71,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # per sub-query costs a fresh driver-side analysis of the (large) error-
 # struct plan each time and denies Catalyst the identical subtree that
 # makes ReuseExchange trivial. Plans are lazy, so caching them holds no
-# executor memory.
+# executor memory. Entries from OTHER sessions are evicted on access so a
+# long-lived process looping SparkSessions (pytest fixtures, repeated
+# harness invocations) cannot pin dead sessions' JVM-backed plans; within
+# ONE session the memo assumes the sf_dir's files are immutable (they are
+# — the driver's testdata is generated once).
 _FRAME_CACHE: dict = {}
 
 
+def _evict_other_sessions(spark: SparkSession) -> None:
+    for key in [k for k in _FRAME_CACHE if k[1] is not spark]:
+        del _FRAME_CACHE[key]
+
+
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _evict_other_sessions(spark)
     key = ("tr", spark, sf_dir)
     if key not in _FRAME_CACHE:
         _FRAME_CACHE[key] = spark_transcripts_from_events(

@@ -177,6 +177,15 @@ def curate_corpus(
         >= F.lit(quality_threshold)
     )
     if near_dup is not None:
+        # cut the lineage before the fuzzy stage: minhash's internal
+        # actions (stop-shingle probe, candidate checkpoint, cluster
+        # rounds) and the final anti-join would otherwise each replay
+        # the decontaminate→dedup→quality prefix from the raw corpus
+        # (≥3 full-funnel scans measured) — same pattern as
+        # semantic_dedup's lazily checkpointed `assigned`. At 100 TB
+        # the funnel's phase split (curate_corpus_resumable) is the
+        # real answer; this bounds the one-shot path.
+        kept = kept.localCheckpoint(eager=False)
         dropped = _near_dup_dropped(
             kept, near_dup, id_col, text_col, near_dup_threshold,
             minhash_k, minhash_num_hashes, minhash_bands, max_shingle_freq,

@@ -749,13 +749,14 @@ def embedding_near_duplicates(
     (fold-exact — bit-identical to the Column-HOF form, see
     ``similarity.band_buckets_pandas``); the candidate join shuffles
     only (band, bucket) keys; same-bucket groups ≈ near-dup cluster
-    size. No cartesian product anywhere. Defaults are 8 bands of 8 bits
-    (was 4×4 through round 4): at threshold 0.95 the OR-construction
-    recall is ~0.99 either way ((1-(1-p^8)^8) vs (1-(1-p^4)^4) at
-    p≈0.9), but 2^8 buckets per band make same-bucket groups 16× finer
-    — the round-4 4-bit bands put 1/16th of a dense region in EVERY
-    bucket, and candidate volume (not verification cost) is what goes
-    quadratic on a hot region. Verification is the Arrow fold-exact dot
+    size. No cartesian product anywhere. Defaults are 16 bands of 12
+    bits (planes=192; was 4 bands of 4 bits through round 4): at
+    threshold 0.95 the OR-construction recall is 1-(1-p^12)^16 ≈ 0.995
+    at p≈0.899 (vs ~0.985 for the old 4×4), and 2^12 buckets per band
+    make same-bucket groups 256× finer — the round-4 4-bit bands put
+    1/16th of a dense region in EVERY bucket, and candidate volume
+    (not verification cost) is what goes quadratic on a hot region
+    (measured 30M → 0.8M candidates on the hot-cluster bench input). Verification is the Arrow fold-exact dot
     over per-id precomputed norms (norms are per-vector, not per-pair —
     computing them inside the pair projection redid the fold twice per
     candidate). Vectors must be non-null.
@@ -840,8 +841,8 @@ def semantic_dedup_pairs(
     produces a candidate, and the per-key group size stays ≈ near-dup
     cluster size. Exact cosine verifies every candidate (precision 1.0;
     banding bounds recall, like every LSH path in this module). Defaults
-    are 8×8-bit bands (same ~0.99 recall at 0.95 as the old 4×4, 16×
-    finer buckets) with Arrow fold-exact verification — see
+    are 16×12-bit bands (recall ~0.995 at 0.95 vs ~0.985 for the old
+    4×4, 256× finer buckets) with Arrow fold-exact verification — see
     :func:`embedding_near_duplicates` for the candidate-volume math; a
     hot CLUSTER concentrates everything onto one list_id, so bucket
     granularity is the only thing standing between that and a quadratic

@@ -99,6 +99,13 @@ def pair_dot_pandas(dim: int):
             return pd.Series([], dtype="float64")
         A = np.stack(a.to_numpy()).astype("float64", copy=False)
         B = np.stack(b.to_numpy()).astype("float64", copy=False)
+        if A.shape[1] != dim or B.shape[1] != dim:
+            # loud, not silent: a wider vector would otherwise fold only
+            # its first `dim` elements and return a WRONG dot product
+            raise ValueError(
+                f"pair_dot_pandas(dim={dim}) got vectors of width "
+                f"{A.shape[1]}/{B.shape[1]}"
+            )
         acc = np.zeros(len(A), dtype="float64")
         for i in range(dim):
             acc = acc + A[:, i] * B[:, i]
@@ -125,18 +132,32 @@ def query_cosine_pandas(query_vec: Sequence[float]):
     for x in q:
         qn_acc = qn_acc + x * x
     qn = math.sqrt(qn_acc)
+    if qn == 0.0:
+        raise ValueError("query_cosine_pandas: zero-norm query vector")
 
     @pandas_udf("double")
     def _score(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="float64")
         M = np.stack(v.to_numpy()).astype("float64", copy=False)
+        if M.shape[1] != dim:
+            raise ValueError(
+                f"query_cosine_pandas: query dim {dim} != vector width "
+                f"{M.shape[1]}"
+            )
         acc = np.zeros(len(M), dtype="float64")
         nrm = np.zeros(len(M), dtype="float64")
         for i in range(dim):
             col = M[:, i]
             acc = acc + col * q[i]
             nrm = nrm + col * col
+        if not nrm.all():
+            # parity with the Column form under ANSI mode (the session
+            # default): 0/0 raises DIVIDE_BY_ZERO there, so raise loudly
+            # here instead of silently scoring NaN
+            raise ValueError(
+                "query_cosine_pandas: zero-norm embedding vector"
+            )
         return pd.Series(acc / (np.sqrt(nrm) * qn))
 
     return _score
@@ -166,6 +187,13 @@ def band_buckets_pandas(
         if len(v) == 0:
             return pd.Series([], dtype="object")
         M = np.stack(v.to_numpy()).astype("float64", copy=False)
+        if M.shape[1] != dim:
+            # a wrong plane width would silently bucket on a prefix —
+            # the exact failure mode the mandatory dim= exists to stop
+            raise ValueError(
+                f"band_buckets_pandas(dim={dim}) got vectors of width "
+                f"{M.shape[1]}"
+            )
         acc = np.zeros((len(M), planes), dtype="float64")
         for i in range(dim):
             acc = acc + M[:, i : i + 1] * P[i : i + 1, :]
@@ -283,14 +311,25 @@ def cosine_topk_multi_pandas(
                 col = M[:, i]
                 acc = acc + col[:, None] * Qm[i : i + 1, :]
                 nrm = nrm + col * col
+            if not nrm.all():
+                # ANSI parity: the crossJoin form raises DIVIDE_BY_ZERO
+                raise ValueError(
+                    "cosine_topk_multi_pandas: zero-norm embedding vector"
+                )
             sims = acc / (np.sqrt(nrm)[:, None] * qn[None, :])
             ids = pdf[id_col].to_numpy()
             out_q, out_id, out_s = [], [], []
             kk = min(k, len(M))
             for qi in range(nq):
                 s = sims[:, qi]
-                # top-k by (sim desc, id asc) — same tiebreak as the window
-                order = np.lexsort((ids, -s))[:kk]
+                # top-k by (sim desc, id asc) — same tiebreak as the
+                # window. Spark's desc ordering treats NaN as LARGEST
+                # (a zero-norm vector scores NaN), while numpy sorts
+                # NaN last either sign — map NaN to -inf on the negated
+                # key so it sorts first, matching the crossJoin variant
+                # for any batch boundaries.
+                key = np.where(np.isnan(s), -np.inf, -s)
+                order = np.lexsort((ids, key))[:kk]
                 out_q.extend([q_ids[qi]] * len(order))
                 out_id.extend(ids[order])
                 out_s.extend(s[order])

@@ -338,7 +338,26 @@ class SnapshotParquetCatalog(TableCatalog):
                         "concurrent commit; retry, or wait out the torn-"
                         "manifest grace window if the writer crashed"
                     )
-                os.unlink(manifest)  # torn manifest: VERSION never flipped
+                # last-instant re-check: a writer stalled past the grace
+                # window may have JUST resumed and flipped VERSION — once
+                # it has, this manifest is committed, not torn, and
+                # unlinking it would lose a successful commit. (Residual
+                # window: the stalled writer flips between this check and
+                # the unlink below — microseconds, after a >grace-second
+                # stall — and its own post-flip verify races our rewrite;
+                # closing it entirely needs a lock file, documented
+                # tradeoff.)
+                if self._version(table) >= new_v:
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: version {new_v} was committed "
+                        "while reclaiming its torn manifest"
+                    )
+                try:
+                    os.unlink(manifest)  # torn: VERSION never flipped
+                except FileNotFoundError:
+                    # another reclaimer got here first — let the retry
+                    # attempt race for the O_EXCL create
+                    continue
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
         tmp = os.path.join(tdir, "VERSION.tmp")

@@ -128,6 +128,21 @@ def test_cosine_topk_multi_pandas_matches_crossjoin(spark):
     )
     assert ref == got  # exact tuple equality: ids, BIT-level sims, ranks
 
+    # zero-norm vectors: the crossJoin form raises DIVIDE_BY_ZERO under
+    # ANSI mode (the session default), so the batched scorer must raise
+    # too — never silently score NaN
+    import pytest
+
+    bad = emb.union(
+        spark.createDataFrame(
+            [(502, [0.0] * 12)], "vec_id long, embedding array<float>"
+        )
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+        similarity.cosine_topk_multi(bad, qdf, k=3).collect()
+    with pytest.raises(Exception, match="zero-norm"):
+        similarity.cosine_topk_multi_pandas(bad, queries, k=3).collect()
+
 
 def test_ann_lsh_recovers_exact_neighbor(spark):
     import random
