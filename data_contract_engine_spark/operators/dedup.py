@@ -381,6 +381,60 @@ def lsh_candidates(
     )
 
 
+def minhash_band_buckets(
+    text: Column, k: int = 3, num_hashes: int = 32, bands: int = 8
+) -> Column:
+    """Per-ROW MinHash band buckets: array<struct<band:int,bucket:bigint>>
+    — BIT-IDENTICAL to :func:`minhash_signatures` + :func:`lsh_candidates`
+    banding at equal parameters (same Carter–Wegman family, same band
+    hash over the same comma-joined slice), but computed with NO
+    groupBy/shuffle: each doc's shingle set is already a per-row array,
+    so every signature min is an ``array_min`` over it.
+
+    This is the STREAMING-safe form (stateful operators need the bucket
+    before any aggregation), and generally the right shape whenever the
+    signature is consumed per-doc rather than joined: zero shuffles, one
+    projection. NULL when the doc has fewer than ``k`` words (no
+    shingles) — filter those out rather than bucketing them together;
+    the batch groupBy path drops them implicitly. No stop-shingle cap —
+    per-doc arrays are bounded by doc length, so there is no f² join for
+    a hot shingle to inflate here.
+    """
+    assert num_hashes % bands == 0
+    per = num_hashes // bands
+    sh = word_shingles(text, k)
+    h1 = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+    h2 = F.transform(
+        sh, lambda s: F.pmod(F.xxhash64(s, F.lit(1)), F.lit(_MH_PRIME - 1)) + 1
+    )
+    mins = [
+        F.array_min(
+            F.zip_with(
+                h1, h2, lambda a, b: F.pmod(a + F.lit(i) * b, F.lit(_MH_PRIME))
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            mins[b * per + r].cast("string")
+                            for r in range(per)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return F.when(F.size(sh) > 0, buckets)
+
+
 def balance_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Repartition a low-parallelism input up to the cluster's default
     parallelism. Small/compacted parquet arrives as one split (a 5 MB file

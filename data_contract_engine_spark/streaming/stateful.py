@@ -92,6 +92,95 @@ def _track(
     )
 
 
+NEAR_DUP_OUTPUT_SCHEMA = (
+    "band int, bucket long, rep_id long, doc_id long"
+)
+NEAR_DUP_STATE_SCHEMA = "rep_id long"
+
+
+def _near_dup_track(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    band, bucket = key
+    rep = state.get[0] if state.exists else None
+    out_rep, out_doc = [], []
+    for pdf in pdfs:
+        # deterministic within a micro-batch: process min doc_id first so
+        # replays with the same batch boundaries emit identical pairs
+        for d in sorted(int(x) for x in pdf["doc_id"]):
+            if rep is None:
+                rep = d
+            elif d != rep:
+                out_rep.append(rep)
+                out_doc.append(d)
+    state.update((rep,))
+    if out_doc:
+        yield pd.DataFrame(
+            {
+                "band": [int(band)] * len(out_doc),
+                "bucket": [int(bucket)] * len(out_doc),
+                "rep_id": out_rep,
+                "doc_id": out_doc,
+            }
+        )
+
+
+def stream_near_dup_candidates(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate CANDIDATE pairs — the
+    streaming twin of :func:`~..operators.dedup.lsh_candidates`.
+
+    Each doc's band buckets come from the per-row, shuffle-free
+    :func:`~..operators.dedup.minhash_band_buckets` (bit-identical to
+    the batch banding); state per (band, bucket) is ONE representative
+    doc id, so a hot bucket stores one row no matter how much traffic
+    hits it — the state-store analog of the batch path's bounded bucket
+    groups. Every arriving doc whose bucket already has a representative
+    emits (band, bucket, rep_id, doc_id); a doc appearing in ``bands``
+    buckets may emit up to ``bands`` rows (distinct downstream, exactly
+    like the batch candidate stage). Docs shorter than ``k`` words are
+    dropped (no shingles — same as batch).
+
+    Semantics note: this is CANDIDATE generation (banding recall,
+    precision unverified) — at 100 TB the pair stream feeds the batch
+    exact-Jaccard verifier over the paired docs only, mirroring the
+    batch pipeline's verify stage. Pair with a processing-time
+    ``timeout`` to expire idle buckets and bound total state.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_band_buckets
+
+    src = (
+        stream_df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                minhash_band_buckets(
+                    F.col(text_col), k=k, num_hashes=num_hashes, bands=bands
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    return src.groupBy("band", "bucket").applyInPandasWithState(
+        _near_dup_track,
+        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def conversation_progress(
     stream_df: DataFrame,
     conv_col: str = "conv_id",

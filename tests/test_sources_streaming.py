@@ -439,3 +439,142 @@ def test_replay_phases_pins_watermark_semantics(spark, tmp_path):
     kept = Counter(r["text"] for r in sink2.collect())
     # max_A = base2+5h; expired iff ts <= base2+3h -> t0..t3 re-admitted
     assert kept == {"t0": 2, "t1": 2, "t2": 2, "t3": 2, "t4": 1, "t5": 1}
+
+
+def test_minhash_band_buckets_matches_batch(spark):
+    """The per-row (shuffle-free, streaming-safe) band buckets are
+    BIT-IDENTICAL to minhash_signatures + lsh_candidates banding at
+    equal parameters; short docs (no shingles) yield NULL."""
+    from pyspark.sql import functions as F
+
+    from data_contract_engine_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words about open ocean sailing ships"),
+            (3, "too short"),  # < k words → no shingles
+        ],
+        "doc_id long, text string",
+    )
+    per_row = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                dedup.minhash_band_buckets(
+                    F.col("text"), k=3, num_hashes=32, bands=8
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+        .collect()
+    )
+    sig = dedup.minhash_signatures(docs, k=3, num_hashes=32)
+    batch = (
+        sig.select(
+            F.col("id").alias("doc_id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("int").alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.element_at("sig", b * 4 + r + 1)
+                                        .cast("string")
+                                        for r in range(4)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket")
+        .collect()
+    )
+    assert sorted(map(tuple, per_row)) == sorted(map(tuple, batch))
+    assert all(r["doc_id"] != 3 for r in per_row)  # short doc excluded
+    # duplicate docs share every band bucket
+    b0 = {(r["band"], r["bucket"]) for r in per_row if r["doc_id"] == 0}
+    b1 = {(r["band"], r["bucket"]) for r in per_row if r["doc_id"] == 1}
+    assert b0 == b1 and len(b0) == 8
+
+
+def test_stream_near_dup_candidates(spark, tmp_path):
+    """Streaming LSH candidates carry bucket state ACROSS micro-batches:
+    a batch-2 near-dup of a batch-1 doc is flagged against the stored
+    representative; state per bucket is ONE row no matter the traffic;
+    every emitted pair is also a batch lsh_candidates pair."""
+    import time as _time
+
+    from data_contract_engine_spark.operators import dedup
+    from data_contract_engine_spark.streaming.stateful import (
+        stream_near_dup_candidates,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi")
+    other = ("completely unrelated text about mountains rivers valleys "
+             "plains forests deserts tundras glaciers")
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    # batch 1: the original + an unrelated doc + a same-batch duplicate
+    spark.createDataFrame(
+        [(10, base), (20, other), (11, base)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    _time.sleep(1.1)
+    # batch 2: a near-dup of doc 10 (one word appended) + a fresh doc
+    spark.createDataFrame(
+        [(30, base + " phi"), (40, "nothing like anything seen before in "
+                                   "this tiny corpus of documents")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        stream_near_dup_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("near_dup_pairs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from near_dup_pairs").collect()
+    pairs = {(r["rep_id"], r["doc_id"]) for r in rows}
+    # same-batch duplicate: 11 flagged against 10 (min id wins the rep)
+    assert (10, 11) in pairs
+    # CROSS-BATCH state: 30 (batch 2) flagged against batch 1's rep
+    assert (10, 30) in pairs
+    # unrelated docs never flagged
+    assert all(d not in (20, 40) for _, d in pairs)
+    assert all(r not in (20, 40) for r, _ in pairs)
+    # every streamed pair is a batch LSH candidate pair too
+    docs = spark.createDataFrame(
+        [(10, base), (11, base), (20, other), (30, base + " phi"),
+         (40, "nothing like anything seen before in this tiny corpus of "
+              "documents")],
+        "doc_id long, text string",
+    )
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidates(
+            dedup.minhash_signatures(docs)
+        ).collect()
+    }
+    assert all(
+        (min(p), max(p)) in batch_pairs for p in pairs
+    )
+    # the duplicate doc collides in EVERY band; pairs are per-band rows
+    assert sum(1 for r in rows if r["doc_id"] == 11) == 8
