@@ -204,6 +204,45 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_stream_dedup(args) -> int:
+    """Streaming near-duplicate candidate job: consume a document
+    directory as a file-source stream (AvailableNow by default — one
+    bounded drain per invocation, resumable via the checkpoint), emit
+    (band, bucket, rep_id, doc_id) candidate pairs to parquet. Pairs
+    feed the batch `dedup` command's exact verifier; state per LSH
+    bucket is one representative id (see
+    streaming.stateful.stream_near_dup_candidates)."""
+    from .streaming.stateful import stream_near_dup_candidates
+
+    spark = build_session(app_name="dce-stream-dedup")
+    stream = (
+        spark.readStream.schema(args.schema)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.input)
+    )
+    pairs = stream_near_dup_candidates(
+        stream,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        bands=args.bands,
+        num_hashes=args.num_hashes,
+        timeout=args.state_timeout,
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", args.out)
+        .option("checkpointLocation", args.checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"candidate_rows": n, "out": args.out}))
+    _stop(spark)
+    return 0
+
+
 def cmd_decontaminate(args) -> int:
     """Benchmark-decontamination job: score the corpus for n-gram
     collisions against an eval suite, write the per-doc scores and
@@ -437,6 +476,27 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--clusters-out", default=None,
                    help="also write (id, cluster_id) connected components")
     d.set_defaults(fn=cmd_dedup)
+
+    sd = sub.add_parser(
+        "stream-dedup",
+        help="streaming near-duplicate candidate pairs (AvailableNow "
+             "drain; resumable via --checkpoint)",
+    )
+    sd.add_argument("--input", required=True,
+                    help="document parquet DIRECTORY (file stream source)")
+    sd.add_argument("--schema",
+                    default="doc_id bigint, source string, lang string, "
+                            "text string, ts timestamp")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--num-hashes", type=int, default=32)
+    sd.add_argument("--bands", type=int, default=8)
+    sd.add_argument("--max-files-per-trigger", type=int, default=16)
+    sd.add_argument("--state-timeout", default="NoTimeout",
+                    choices=("NoTimeout", "ProcessingTimeTimeout"))
+    sd.add_argument("--out", required=True)
+    sd.add_argument("--checkpoint", required=True)
+    sd.set_defaults(fn=cmd_stream_dedup)
 
     t = sub.add_parser("textstats", help="per-document text features")
     t.add_argument("--input", required=True)

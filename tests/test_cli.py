@@ -141,6 +141,50 @@ def test_dedup_and_textstats_commands(spark, tmp_path, capsys, monkeypatch):
     assert feats[0]["pred_lang"] == "en"
 
 
+def test_stream_dedup_command(spark, tmp_path, capsys, monkeypatch):
+    """stream-dedup drains a document directory via AvailableNow and
+    writes candidate pairs; a second invocation with the SAME checkpoint
+    resumes (no re-emission for already-processed files)."""
+    import json
+
+    monkeypatch.setenv("DCE_CLI_KEEP_SESSION", "1")
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi")
+    src = tmp_path / "docs_dir"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base), (2, base + " phi"),
+         (3, "entirely different content about rivers and mountains and "
+             "forests everywhere")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "sd_ckpt")
+    rc = cli.main([
+        "stream-dedup", "--input", str(src) + "/*",
+        "--schema", "doc_id bigint, text string",
+        "--out", out, "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["candidate_rows"] > 0
+    pairs = {(r["rep_id"], r["doc_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in pairs and all(3 not in p for p in pairs)
+
+    # resume: same checkpoint, no new files → nothing re-emitted
+    n_before = spark.read.parquet(out).count()
+    rc = cli.main([
+        "stream-dedup", "--input", str(src) + "/*",
+        "--schema", "doc_id bigint, text string",
+        "--out", out, "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out).count() == n_before
+
+
 def test_sample_command(spark, tmp_path, capsys, monkeypatch):
     import json
 
